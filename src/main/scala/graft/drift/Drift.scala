@@ -1,0 +1,147 @@
+package graft.drift
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.stats.Stats
+
+/** Per-column drift report row, shaped after the reference DriftDetector
+  * report (DESIGN.md:575-580): {p_value, statistic, drift_detected,
+  * mean_difference} per feature + overall rollup, extended with the
+  * north-star PSI / chi-square checks.
+  */
+case class ColumnDrift(
+    column: String,
+    test: String,          // ks | psi | chisq
+    statistic: Double,
+    p_value: Double,       // NaN for PSI (no p-value; thresholded directly)
+    drift_detected: Boolean,
+    mean_difference: Double, // |ref_mean − cur_mean| / ref_std (DESIGN.md:569)
+    n_ref: Long,
+    n_cur: Long)
+
+case class DriftReport(
+    overall_drift_detected: Boolean, // any column drifted (DESIGN.md:572-573)
+    feature_drift: Seq[ColumnDrift],
+    sample_size: Long)
+
+object Drift {
+  val KsThreshold = 0.05    // DESIGN.md:534
+  val PsiThreshold = 0.2    // standard PSI "significant shift" convention
+  val ChiSqThreshold = 0.05
+
+  /** |Δmean| / ref_std, 0 when ref_std == 0 or undefined (DESIGN.md:569). */
+  def meanDifference(refMean: Double, refStd: Double, curMean: Double): Double =
+    if (refStd.isNaN || refStd == 0.0 || refMean.isNaN || curMean.isNaN) 0.0
+    else math.abs(refMean - curMean) / refStd
+
+  /** PSI over a numeric column: 10 equi-width bins pinned to the BASELINE
+    * side's [min, max] (out-of-range current values clamp into edge bins),
+    * both histograms in ONE aggregation pass.
+    */
+  def psiNumeric(df: DataFrame, valueCol: String, isBaseline: Column,
+                 bins: Int = Stats.Bins): Double = {
+    val v = col(valueCol).cast("double")
+    val clean = df.where(v.isNotNull && !isnan(v))
+      .select(v.as("v"), isBaseline.as("base"))
+    val mm = clean.where(col("base")).agg(min("v"), max("v")).collect()(0)
+    if (mm.isNullAt(0)) return 0.0
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val b = greatest(lit(0), Stats.bucketExpr(col("v"), lo, hi, bins))
+    val hists = clean.groupBy(b.as("bin")).agg(
+      sum(when(col("base"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("base"), 1L).otherwise(0L)).as("c2"))
+      .collect().map(r => r.getAs[Int]("bin") -> (r.getAs[Long]("c1"), r.getAs[Long]("c2"))).toMap
+    val n1 = hists.values.map(_._1).sum.toDouble
+    val n2 = hists.values.map(_._2).sum.toDouble
+    if (n1 == 0 || n2 == 0) return 0.0
+    val p = (0 until bins).map(i => hists.getOrElse(i, (0L, 0L))._1 / n1)
+    val q = (0 until bins).map(i => hists.getOrElse(i, (0L, 0L))._2 / n2)
+    DriftMath.psi(p, q)
+  }
+
+  /** PSI over a categorical column: category proportions on both sides in
+    * one pass; categories are the union of both sides.
+    */
+  def psiCategorical(df: DataFrame, catCol: String, isBaseline: Column): Double = {
+    val rows = df.where(col(catCol).isNotNull)
+      .groupBy(col(catCol)).agg(
+        sum(when(isBaseline, 1L).otherwise(0L)).as("c1"),
+        sum(when(!isBaseline, 1L).otherwise(0L)).as("c2"))
+      .collect()
+    val n1 = rows.map(_.getAs[Long]("c1")).sum.toDouble
+    val n2 = rows.map(_.getAs[Long]("c2")).sum.toDouble
+    if (n1 == 0 || n2 == 0) return 0.0
+    DriftMath.psi(rows.map(_.getAs[Long]("c1") / n1).toSeq,
+      rows.map(_.getAs[Long]("c2") / n2).toSeq)
+  }
+
+  /** Chi-square goodness-of-fit of the CURRENT categorical frequencies
+    * against expected = baseline proportions × current total. Categories
+    * absent from the baseline are excluded from the statistic (matching the
+    * reference's skip-missing-columns convention, DESIGN.md:557-558);
+    * dof = (#baseline categories − 1).
+    */
+  def chiSquareCategorical(df: DataFrame, catCol: String, isBaseline: Column): (Double, Double, Long) = {
+    val rows = df.where(col(catCol).isNotNull)
+      .groupBy(col(catCol)).agg(
+        sum(when(isBaseline, 1L).otherwise(0L)).as("c1"),
+        sum(when(!isBaseline, 1L).otherwise(0L)).as("c2"))
+      .collect()
+    val base = rows.filter(_.getAs[Long]("c1") > 0)
+    val n1 = base.map(_.getAs[Long]("c1")).sum.toDouble
+    val n2cov = base.map(_.getAs[Long]("c2")).sum.toDouble
+    if (n1 == 0 || n2cov == 0 || base.length < 2) return (0.0, 1.0, 0L)
+    val stat = base.map { r =>
+      val exp = r.getAs[Long]("c1") / n1 * n2cov
+      val obs = r.getAs[Long]("c2").toDouble
+      (obs - exp) * (obs - exp) / exp
+    }.sum
+    val dof = base.length - 1L
+    (stat, DriftMath.chiSquarePValue(stat, dof), dof)
+  }
+
+  /** Full drift report over numeric columns (KS, reference DriftDetector
+    * semantics) + optional categorical columns (chi-square), baseline vs
+    * current selected by `isBaseline`. Columns with no data on either side
+    * are skipped (DESIGN.md:557-558).
+    */
+  def detect(df: DataFrame, numericCols: Seq[String], catCols: Seq[String],
+             isBaseline: Column, ksThreshold: Double = KsThreshold): DriftReport = {
+    val statsBase = if (numericCols.nonEmpty)
+      Stats.summarize(df.where(isBaseline), numericCols) else Seq.empty
+    val statsCur = if (numericCols.nonEmpty)
+      Stats.summarize(df.where(!isBaseline), numericCols) else Seq.empty
+    val baseByCol = statsBase.map(s => s.column -> s).toMap
+    val curByCol = statsCur.map(s => s.column -> s).toMap
+
+    val ksDrift = numericCols.flatMap { c =>
+      (baseByCol.get(c), curByCol.get(c)) match {
+        case (Some(b), Some(u)) if b.count > 0 && u.count > 0 =>
+          val ks = KsTest.ks2Samp(df, c, isBaseline)
+          Some(ColumnDrift(c, "ks", ks.statistic, ks.pValue, ks.pValue < ksThreshold,
+            meanDifference(b.mean, b.stddev, u.mean), ks.n1, ks.n2))
+        case _ => None
+      }
+    }
+    val chiDrift = catCols.map { c =>
+      val (stat, p, _) = chiSquareCategorical(df, c, isBaseline)
+      ColumnDrift(c, "chisq", stat, p, p < ChiSqThreshold, 0.0,
+        statsBase.headOption.map(_.count).getOrElse(0L),
+        statsCur.headOption.map(_.count).getOrElse(0L))
+    }
+    val all = ksDrift ++ chiDrift
+    DriftReport(all.exists(_.drift_detected), all,
+      curByCol.values.map(_.count).maxOption.getOrElse(0L))
+  }
+
+  /** Sensor-pipeline batch analog (sensor.py:186-193): per group, the ratio
+    * of "unusual" rows; drift iff ratio STRICTLY > threshold (0.10).
+    */
+  def unusualRatio(df: DataFrame, groupCol: String, isUnusual: Column,
+                   threshold: Double = 0.10): DataFrame =
+    df.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n"),
+        sum(when(isUnusual, 1L).otherwise(0L)).as("unusual_count"))
+      .withColumn("ratio", col("unusual_count") / col("n"))
+      .withColumn("drift_detected", col("ratio") > threshold)
+}

@@ -1,0 +1,305 @@
+package graft.suite
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.drift.DriftMath
+import graft.tableio.TableIO
+
+/** One verdict row per (batch, check) — the engine's analog of the
+  * reference's per-report entries (validation report DESIGN.md:383-387,
+  * drift report DESIGN.md:575-580), flattened for the audit table.
+  */
+case class Verdict(
+    batch_id: Long,
+    check: String,
+    column: String,
+    metric: Double,      // the measured statistic / rate / score
+    p_value: Double,     // NaN when the check has no p-value
+    threshold: Double,
+    passed: Boolean,
+    violation_count: Long)
+
+/** Per-batch lineage + metrics row (north rule: "per-partition checkpointed
+  * lineage + metrics rows").
+  */
+case class Lineage(
+    batch_id: Long,
+    row_count: Long,
+    input_fingerprint: String, // order-independent fingerprint of the batch
+    suite_version: String,
+    baseline_batch: Long,
+    wall_ms: Long)
+
+object SuiteConfig {
+  val SuiteVersion = "graft-0.1"
+  val KsThreshold = 0.05      // DESIGN.md:534
+  val PsiThreshold = 0.2
+  val ChiSqThreshold = 0.05
+  val UnusualRatioThreshold = 0.10 // sensor.py:175
+  val Bins = 10
+  val ViolationCap = 100
+  val SaltBuckets = 16
+}
+
+/** Batch-parallel validation suite over the code table
+  * (repo, path, commit, lang, content, expected_sha256, batch_id).
+  *
+  * Scale design: ALL pending batches are validated in a CONSTANT number of
+  * full-table jobs (≈6 scans/shuffles total), not O(#batches) loops:
+  *   1. one-pass scalar aggregates per batch (counts, length moments,
+  *      missing counts, sha mismatches) — single HashAggregate, map-side
+  *      partial; `content` is read once, reduced to (length, sha-ok) in the
+  *      same projection (SURVEY.md §7.5 risk 4);
+  *   2. groupBy(batch, lang) counts          → chi-square / PSI(lang);
+  *   3. groupBy(batch, length-bin) counts    → PSI(length);
+  *   4. groupBy(batch, length) counts        → EXACT KS vs baseline
+  *      (collapsing to distinct values first makes exact KS scale-free for
+  *      discrete-ish columns; the t-digest path covers continuous ones);
+  *   5. duplicate-key detection (one shuffle on the key);
+  *   6. referential anti-join against the broadcast dimension.
+  * Verdict assembly is driver-side arithmetic over the tiny collected
+  * aggregates. Violations are written capped + deterministic (O5).
+  *
+  * Skew: groupBy keys are (batch, lang/bin/length) or near-unique triples —
+  * none is repo-keyed, so the 30% mega-repo cannot hot-spot a reducer. The
+  * only repo-keyed metric (files per repo) goes through the salted
+  * two-level aggregate [[Salting.saltedCount]].
+  */
+object SuiteRunner {
+  import SuiteConfig._
+
+  case class BatchArtifacts(
+      batchId: Long,
+      rows: Long,
+      lenMin: Double, lenMax: Double, lenMean: Double, lenStd: Double,
+      missingPath: Long, missingLang: Long, missingContent: Long,
+      shaMismatch: Long,
+      langCounts: Map[String, Long],
+      lenCounts: Seq[(Long, Long)], // (length, count) sorted
+      fingerprint: String)
+
+  /** Exact two-sample KS from distinct-value count maps (driver-side; the
+    * maps are groupBy(value).count results, already tiny).
+    */
+  def ksFromCounts(ref: Seq[(Long, Long)], cur: Seq[(Long, Long)]): (Double, Double) = {
+    val n1 = ref.map(_._2).sum
+    val n2 = cur.map(_._2).sum
+    if (n1 == 0 || n2 == 0) return (0.0, 1.0)
+    val values = (ref.map(_._1) ++ cur.map(_._1)).distinct.sorted
+    val refM = ref.toMap; val curM = cur.toMap
+    var c1 = 0L; var c2 = 0L; var d = 0.0
+    values.foreach { v =>
+      c1 += refM.getOrElse(v, 0L)
+      c2 += curM.getOrElse(v, 0L)
+      val gap = math.abs(c1.toDouble / n1 - c2.toDouble / n2)
+      if (gap > d) d = gap
+    }
+    (d, DriftMath.ksPValue(d, n1, n2))
+  }
+
+  private def psiFromCounts(ref: Map[String, Long], cur: Map[String, Long]): Double = {
+    val keys = (ref.keySet ++ cur.keySet).toSeq.sorted
+    val n1 = ref.values.sum.toDouble
+    val n2 = cur.values.sum.toDouble
+    if (n1 == 0 || n2 == 0) return 0.0
+    DriftMath.psi(keys.map(ref.getOrElse(_, 0L) / n1), keys.map(cur.getOrElse(_, 0L) / n2))
+  }
+
+  private def chiSqFromCounts(ref: Map[String, Long], cur: Map[String, Long]): (Double, Double) = {
+    val base = ref.filter(_._2 > 0)
+    val n1 = base.values.sum.toDouble
+    val n2cov = base.keys.map(cur.getOrElse(_, 0L)).sum.toDouble
+    if (n1 == 0 || n2cov == 0 || base.size < 2) return (0.0, 1.0)
+    val stat = base.map { case (k, c1) =>
+      val exp = c1 / n1 * n2cov
+      val obs = cur.getOrElse(k, 0L).toDouble
+      (obs - exp) * (obs - exp) / exp
+    }.sum
+    (stat, DriftMath.chiSquarePValue(stat, base.size - 1L))
+  }
+
+  /** Collect all per-batch artifacts for `batches` in the constant number of
+    * jobs described above. `code` must already be filtered to those batches
+    * (partition pruning keeps unread batches off disk).
+    */
+  def collectArtifacts(code: DataFrame, batches: Seq[Long]): Map[Long, BatchArtifacts] = {
+    // content reduced ONCE to its cheap derivatives; content itself never shuffles
+    val slim = code
+      .where(col("batch_id").isin(batches: _*))
+      .select(col("batch_id"),
+        length(col("content")).cast("long").as("len"),
+        (sha2(col("content"), 256) === col("expected_sha256")).as("sha_ok"),
+        (col("path").isNull || col("path") === "").as("path_missing"),
+        (col("lang").isNull || col("lang") === "").as("lang_missing"),
+        (col("content").isNull || col("content") === "").as("content_missing"),
+        col("lang"),
+        xxhash64(col("repo"), col("path"), col("commit"), col("content")).as("rowhash"))
+
+    // job 1: scalar aggregates per batch
+    val scalars = slim.groupBy("batch_id").agg(
+      count(lit(1)).as("rows"),
+      min("len").as("len_min"), max("len").as("len_max"),
+      avg("len").as("len_mean"), stddev_samp(col("len")).as("len_std"),
+      sum(when(col("path_missing"), 1L).otherwise(0L)).as("miss_path"),
+      sum(when(col("lang_missing"), 1L).otherwise(0L)).as("miss_lang"),
+      sum(when(col("content_missing"), 1L).otherwise(0L)).as("miss_content"),
+      sum(when(!col("sha_ok"), 1L).otherwise(0L)).as("sha_bad"),
+      // order-independent batch fingerprint: xor-free sum of row hashes
+      sum(col("rowhash")).as("fp")).collect()
+      .map(r => r.getAs[Long]("batch_id") -> r).toMap
+
+    // job 2: lang counts per batch
+    val langCounts = slim.groupBy("batch_id", "lang").count().collect()
+      .groupBy(_.getAs[Long]("batch_id"))
+      .map { case (b, rows) =>
+        b -> rows.map(r => Option(r.getAs[String]("lang")).getOrElse("") -> r.getAs[Long]("count")).toMap
+      }
+
+    // job 3: distinct-length counts per batch (feeds exact KS + PSI bins)
+    val lenCounts = slim.groupBy("batch_id", "len").count().collect()
+      .groupBy(_.getAs[Long]("batch_id"))
+      .map { case (b, rows) =>
+        b -> rows.map(r => r.getAs[Long]("len") -> r.getAs[Long]("count")).toSeq.sortBy(_._1)
+      }
+
+    batches.flatMap { b =>
+      scalars.get(b).map { r =>
+        b -> BatchArtifacts(b, r.getAs[Long]("rows"),
+          Option(r.getAs[Any]("len_min")).map(_.asInstanceOf[Number].doubleValue).getOrElse(Double.NaN),
+          Option(r.getAs[Any]("len_max")).map(_.asInstanceOf[Number].doubleValue).getOrElse(Double.NaN),
+          Option(r.getAs[Any]("len_mean")).map(_.asInstanceOf[Number].doubleValue).getOrElse(Double.NaN),
+          Option(r.getAs[Any]("len_std")).map(_.asInstanceOf[Number].doubleValue).getOrElse(Double.NaN),
+          r.getAs[Long]("miss_path"), r.getAs[Long]("miss_lang"), r.getAs[Long]("miss_content"),
+          r.getAs[Long]("sha_bad"),
+          langCounts.getOrElse(b, Map.empty),
+          lenCounts.getOrElse(b, Seq.empty),
+          java.lang.Long.toHexString(r.getAs[Long]("fp")))
+      }
+    }.toMap
+  }
+
+  /** Length histogram proportions over `bins` equi-width bins pinned to the
+    * BASELINE's [min,max] (numpy right-edge convention; out-of-range current
+    * values clamp into the edge bins).
+    */
+  private def histProportions(lenCounts: Seq[(Long, Long)], lo: Double, hi: Double): Seq[Double] = {
+    val n = lenCounts.map(_._2).sum.toDouble
+    if (n == 0) return Seq.fill(Bins)(0.0)
+    val acc = Array.fill(Bins)(0L)
+    lenCounts.foreach { case (v, c) =>
+      val b = if (hi <= lo) 0
+        else math.max(0, math.min(Bins - 1, ((v - lo) * Bins / (hi - lo)).toInt))
+      acc(b) += c
+    }
+    acc.map(_ / n).toSeq
+  }
+
+  /** Full run: resume-aware validation of every batch not yet committed.
+    * Returns the verdicts written this run.
+    */
+  def run(spark: SparkSession, code: DataFrame, repoLangDim: DataFrame,
+          io: TableIO, baselineBatch: Long = 0L): Seq[Verdict] = {
+    import spark.implicits._
+    val allBatches = code.select("batch_id").distinct().as[Long].collect().sorted.toSeq
+    val committed = io.listCommitted("verdicts").toSet
+    val pending = allBatches.filterNot(committed)
+    if (pending.isEmpty) return Seq.empty
+
+    // baseline artifacts: computed once (first scan establishes reference
+    // distributions — reference T7 semantics, DESIGN.md:536-537)
+    val needed = (pending :+ baselineBatch).distinct
+    val arts = collectArtifacts(code, needed)
+    val base = arts(baselineBatch)
+    val basePropLen = histProportions(base.lenCounts, base.lenMin, base.lenMax)
+
+    // shared violation jobs, batch-attributed, capped deterministically
+    val pendingCode = code.where(col("batch_id").isin(pending: _*))
+    val keyW = Window.partitionBy(col("batch_id")).orderBy(col("repo"), col("path"), col("commit"))
+    val dupViol = pendingCode.groupBy("batch_id", "repo", "path", "commit")
+      .agg(count(lit(1)).as("dup_count")).where(col("dup_count") > 1)
+    val dupCounts = dupViol.groupBy("batch_id")
+      .agg(sum(col("dup_count") - 1).as("n")).collect()
+      .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("n")).toMap
+    val dupSample = dupViol.withColumn("rn", row_number().over(keyW))
+      .where(col("rn") <= ViolationCap).drop("rn")
+
+    val refViol = pendingCode.select("batch_id", "repo", "lang")
+      .join(broadcast(repoLangDim.select("repo", "lang").distinct()), Seq("repo", "lang"), "left_anti")
+    val refCounts = refViol.groupBy("batch_id").count().collect()
+      .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("count")).toMap
+    val refSample = refViol.groupBy("batch_id", "repo", "lang")
+      .agg(count(lit(1)).as("violation_count"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("batch_id"))
+        .orderBy(col("repo"), col("lang"))))
+      .where(col("rn") <= ViolationCap).drop("rn")
+
+    val shaViol = pendingCode
+      .where(sha2(col("content"), 256) =!= col("expected_sha256"))
+      .select("batch_id", "repo", "path", "commit")
+      .withColumn("rn", row_number().over(keyW)).where(col("rn") <= ViolationCap).drop("rn")
+
+    val emptyPathViol = pendingCode
+      .where(col("path").isNull || col("path") === "")
+      .select("batch_id", "repo", "commit", "lang")
+      .withColumn("rn", row_number().over(Window.partitionBy(col("batch_id"))
+        .orderBy(col("repo"), col("commit")))).where(col("rn") <= ViolationCap).drop("rn")
+
+    val allViolations = Seq(
+      "uniqueness" -> dupSample, "referential" -> refSample,
+      "sha256_invariant" -> shaViol, "completeness_path" -> emptyPathViol)
+
+    // per-batch verdict assembly (driver-side, tiny) + per-batch commit
+    val out = scala.collection.mutable.ArrayBuffer.empty[Verdict]
+    pending.foreach { b =>
+      val t0 = System.nanoTime()
+      val a = arts(b)
+      val (ksD, ksP) = ksFromCounts(base.lenCounts, a.lenCounts)
+      val psiLen = DriftMath.psi(basePropLen, histProportions(a.lenCounts, base.lenMin, base.lenMax))
+      val psiLang = psiFromCounts(base.langCounts, a.langCounts)
+      val (chiStat, chiP) = chiSqFromCounts(base.langCounts, a.langCounts)
+      val meanShift = if (base.lenStd.isNaN || base.lenStd == 0) 0.0
+        else math.abs(base.lenMean - a.lenMean) / base.lenStd
+      val isBase = b == baselineBatch
+      val missRate = if (a.rows == 0) 0.0 else a.missingPath.toDouble / a.rows
+      val verdicts = Seq(
+        Verdict(b, "uniqueness", "repo,path,commit", dupCounts.getOrElse(b, 0L).toDouble,
+          Double.NaN, 0, dupCounts.getOrElse(b, 0L) == 0, dupCounts.getOrElse(b, 0L)),
+        Verdict(b, "referential", "repo,lang", refCounts.getOrElse(b, 0L).toDouble,
+          Double.NaN, 0, refCounts.getOrElse(b, 0L) == 0, refCounts.getOrElse(b, 0L)),
+        Verdict(b, "completeness", "path", missRate, Double.NaN, 0.0,
+          a.missingPath == 0, a.missingPath),
+        Verdict(b, "sha256_invariant", "content", a.shaMismatch.toDouble, Double.NaN, 0,
+          a.shaMismatch == 0, a.shaMismatch),
+        Verdict(b, "drift_ks", "content_length", ksD, ksP, KsThreshold,
+          isBase || ksP >= KsThreshold, 0),
+        Verdict(b, "drift_psi", "content_length", psiLen, Double.NaN, PsiThreshold,
+          isBase || psiLen < PsiThreshold, 0),
+        Verdict(b, "drift_psi", "lang", psiLang, Double.NaN, PsiThreshold,
+          isBase || psiLang < PsiThreshold, 0),
+        Verdict(b, "drift_chisq", "lang", chiStat, chiP, ChiSqThreshold,
+          isBase || chiP >= ChiSqThreshold, 0),
+        Verdict(b, "mean_shift", "content_length", meanShift, Double.NaN, Double.NaN, true, 0))
+      // quality score: FIXTURES.md §4 concretization — 1 − max(error rates),
+      // gated to 0 if any constraint expectation fails
+      val errRates = Seq(missRate,
+        if (a.rows == 0) 0.0 else a.shaMismatch.toDouble / a.rows)
+      val constraintsPass = verdicts.filter(v => Set("uniqueness", "referential",
+        "completeness", "sha256_invariant").contains(v.check)).forall(_.passed)
+      val score = if (!constraintsPass) 0.0 else 1.0 - errRates.max
+      val withScore = verdicts :+ Verdict(b, "quality_score", "*", score, Double.NaN, 0.0, true, 0)
+
+      io.writePartition(withScore.toDF(), "verdicts", b)
+      allViolations.foreach { case (name, df) =>
+        io.writePartition(df.where(col("batch_id") === b), s"violations_$name", b)
+      }
+      val lineage = Lineage(b, a.rows, a.fingerprint, SuiteVersion, baselineBatch,
+        (System.nanoTime() - t0) / 1000000)
+      io.writePartition(Seq(lineage).toDF(), "lineage", b)
+      io.commit("verdicts", b,
+        s"""{"batch_id":$b,"rows":${a.rows},"fingerprint":"${a.fingerprint}","suite":"$SuiteVersion"}""")
+      out ++= withScore
+    }
+    out.toSeq
+  }
+}
