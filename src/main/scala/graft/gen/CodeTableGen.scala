@@ -41,9 +41,9 @@ object CodeTableGen {
 
   // Injection rates out of 10_000 rows (deterministic hash buckets).
   val DupRate = 30        // duplicate (repo,path,commit) triples
-  val BadLangRate = 10    // lang = "cobol", not in the dimension
-  val EmptyPathRate = 10  // path = "" (missing per isnull ∨ == "")
-  val BadShaRate = 10     // expected_sha256 corrupted
+  val BadLangRate = 25    // lang = "cobol", not in the dimension
+  val EmptyPathRate = 25  // path = "" (missing per isnull ∨ == "")
+  val BadShaRate = 25     // expected_sha256 corrupted
   val UnusualRate = 500   // 5% content-length multiplier in drifted batch
 
   private def h(seed: Long, c: Column*): Column = xxhash64((lit(seed) +: c): _*)
@@ -83,7 +83,7 @@ object CodeTableGen {
                           seed: Long = 42, nRepos: Int = 200): DataFrame = {
     val perBatch = math.max(1L, (rows + batches - 1) / batches)
     val id = col("id")
-    val batch = (id / perBatch).cast("int").as("batch_id")
+    val batch = (id / perBatch).cast("bigint").as("batch_id")
     val driftedBatch = batches - 1
 
     val isDup = bucket(seed + 10, id, 10000) < DupRate && id > 0

@@ -36,6 +36,13 @@ object SuiteConfig {
   val KsThreshold = 0.05      // DESIGN.md:534
   val PsiThreshold = 0.2
   val ChiSqThreshold = 0.05
+  /** Effect-size gate for chi-square: at 10^6+ rows per batch the test has
+    * power to reject on hash-level noise (observed: p=0.018 on an undrifted
+    * 25k-row batch). Drift fires only when p < threshold AND Cramér's
+    * V = sqrt(χ² / (n·(k−1))) ≥ this floor — i.e. the shift is material,
+    * not just statistically detectable.
+    */
+  val CramersVFloor = 0.05
   val UnusualRatioThreshold = 0.10 // sensor.py:175
   val Bins = 10
   val ViolationCap = 100
@@ -106,17 +113,19 @@ object SuiteRunner {
     DriftMath.psi(keys.map(ref.getOrElse(_, 0L) / n1), keys.map(cur.getOrElse(_, 0L) / n2))
   }
 
-  private def chiSqFromCounts(ref: Map[String, Long], cur: Map[String, Long]): (Double, Double) = {
+  /** Returns (statistic, p-value, Cramér's V). */
+  private def chiSqFromCounts(ref: Map[String, Long], cur: Map[String, Long]): (Double, Double, Double) = {
     val base = ref.filter(_._2 > 0)
     val n1 = base.values.sum.toDouble
     val n2cov = base.keys.map(cur.getOrElse(_, 0L)).sum.toDouble
-    if (n1 == 0 || n2cov == 0 || base.size < 2) return (0.0, 1.0)
+    if (n1 == 0 || n2cov == 0 || base.size < 2) return (0.0, 1.0, 0.0)
     val stat = base.map { case (k, c1) =>
       val exp = c1 / n1 * n2cov
       val obs = cur.getOrElse(k, 0L).toDouble
       (obs - exp) * (obs - exp) / exp
     }.sum
-    (stat, DriftMath.chiSquarePValue(stat, base.size - 1L))
+    val v = math.sqrt(stat / (n2cov * (base.size - 1)))
+    (stat, DriftMath.chiSquarePValue(stat, base.size - 1L), v)
   }
 
   /** Collect all per-batch artifacts for `batches` in the constant number of
@@ -145,8 +154,9 @@ object SuiteRunner {
       sum(when(col("lang_missing"), 1L).otherwise(0L)).as("miss_lang"),
       sum(when(col("content_missing"), 1L).otherwise(0L)).as("miss_content"),
       sum(when(!col("sha_ok"), 1L).otherwise(0L)).as("sha_bad"),
-      // order-independent batch fingerprint: xor-free sum of row hashes
-      sum(col("rowhash")).as("fp")).collect()
+      // order-independent batch fingerprint: decimal sum of row hashes
+      // (decimal(38,0) cannot overflow under ANSI mode at any row count)
+      sum(col("rowhash").cast("decimal(38,0)")).as("fp")).collect()
       .map(r => r.getAs[Long]("batch_id") -> r).toMap
 
     // job 2: lang counts per batch
@@ -174,7 +184,8 @@ object SuiteRunner {
           r.getAs[Long]("sha_bad"),
           langCounts.getOrElse(b, Map.empty),
           lenCounts.getOrElse(b, Seq.empty),
-          java.lang.Long.toHexString(r.getAs[Long]("fp")))
+          Option(r.getAs[java.math.BigDecimal]("fp"))
+            .map(_.toBigInteger.toString(16)).getOrElse("0"))
       }
     }.toMap
   }
@@ -257,7 +268,7 @@ object SuiteRunner {
       val (ksD, ksP) = ksFromCounts(base.lenCounts, a.lenCounts)
       val psiLen = DriftMath.psi(basePropLen, histProportions(a.lenCounts, base.lenMin, base.lenMax))
       val psiLang = psiFromCounts(base.langCounts, a.langCounts)
-      val (chiStat, chiP) = chiSqFromCounts(base.langCounts, a.langCounts)
+      val (chiStat, chiP, cramersV) = chiSqFromCounts(base.langCounts, a.langCounts)
       val meanShift = if (base.lenStd.isNaN || base.lenStd == 0) 0.0
         else math.abs(base.lenMean - a.lenMean) / base.lenStd
       val isBase = b == baselineBatch
@@ -278,7 +289,7 @@ object SuiteRunner {
         Verdict(b, "drift_psi", "lang", psiLang, Double.NaN, PsiThreshold,
           isBase || psiLang < PsiThreshold, 0),
         Verdict(b, "drift_chisq", "lang", chiStat, chiP, ChiSqThreshold,
-          isBase || chiP >= ChiSqThreshold, 0),
+          isBase || chiP >= ChiSqThreshold || cramersV < CramersVFloor, 0),
         Verdict(b, "mean_shift", "content_length", meanShift, Double.NaN, Double.NaN, true, 0))
       // quality score: FIXTURES.md §4 concretization — 1 − max(error rates),
       // gated to 0 if any constraint expectation fails
@@ -292,10 +303,14 @@ object SuiteRunner {
       io.writePartition(withScore.toDF(), "verdicts", b)
       allViolations.foreach { case (name, df) =>
         io.writePartition(df.where(col("batch_id") === b), s"violations_$name", b)
+        io.commit(s"violations_$name", b, s"""{"batch_id":$b}""")
       }
       val lineage = Lineage(b, a.rows, a.fingerprint, SuiteVersion, baselineBatch,
         (System.nanoTime() - t0) / 1000000)
       io.writePartition(Seq(lineage).toDF(), "lineage", b)
+      io.commit("lineage", b, s"""{"batch_id":$b}""")
+      // verdicts manifest LAST — it is the batch's atomic commit point; a
+      // kill anywhere earlier leaves the batch pending and fully re-run
       io.commit("verdicts", b,
         s"""{"batch_id":$b,"rows":${a.rows},"fingerprint":"${a.fingerprint}","suite":"$SuiteVersion"}""")
       out ++= withScore

@@ -1,0 +1,97 @@
+package graft
+
+import graft.gen.CodeTableGen
+import graft.suite.{SuiteRunner, Verdict}
+import graft.tableio.ParquetTableIO
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+class SuiteSpec extends GraftSpec {
+
+  private def tempDir(): String =
+    Files.createTempDirectory("graft_suite").toString
+
+  private def rmdir(p: String): Unit = {
+    val d = Path.of(p)
+    if (Files.exists(d))
+      Files.walk(d).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+  }
+
+  lazy val code = CodeTableGen.generate(spark, 20000, batches = 4).cache()
+  lazy val dim = CodeTableGen.repoLangDim(spark)
+
+  test("end-to-end: violations detected, drifted batch fails drift, baseline passes") {
+    val root = tempDir()
+    try {
+      val io = new ParquetTableIO(root)
+      val verdicts = SuiteRunner.run(spark, code, dim, io)
+      assert(verdicts.nonEmpty)
+      def v(b: Long, check: String, colName: String): Verdict =
+        verdicts.find(x => x.batch_id == b && x.check == check && x.column == colName).get
+
+      // constraints fire in every batch (violations are injected uniformly)
+      (0L to 3L).foreach { b =>
+        assert(!v(b, "uniqueness", "repo,path,commit").passed)
+        assert(!v(b, "referential", "repo,lang").passed)
+        assert(!v(b, "sha256_invariant", "content").passed)
+        assert(v(b, "quality_score", "*").metric == 0.0) // gated: constraints failed
+      }
+      // baseline batch trivially passes drift; undrifted batches pass; batch 3 drifts
+      assert(v(0, "drift_ks", "content_length").passed)
+      assert(v(1, "drift_ks", "content_length").passed, "undrifted batch must not fire KS")
+      assert(v(2, "drift_ks", "content_length").passed)
+      assert(!v(3, "drift_ks", "content_length").passed, "drifted batch must fire KS")
+      assert(!v(3, "drift_chisq", "lang").passed, "lang-mix shift must fire chi-square")
+      assert(!v(3, "drift_psi", "lang").passed)
+      assert(v(1, "drift_psi", "lang").passed)
+      assert(v(3, "mean_shift", "content_length").metric >
+        v(1, "mean_shift", "content_length").metric)
+
+      // audit artifacts exist and are readable
+      assert(io.listCommitted("verdicts") == Seq(0L, 1L, 2L, 3L))
+      val persisted = io.readCommitted(spark, "verdicts").get
+      assert(persisted.count() == verdicts.size)
+      val viol = io.readCommitted(spark, "violations_uniqueness").get
+      assert(viol.count() > 0)
+      val lineage = io.readCommitted(spark, "lineage").get
+      assert(lineage.count() == 4)
+      assert(lineage.select("row_count").collect().map(_.getLong(0)).sum == 20000L)
+    } finally rmdir(root)
+  }
+
+  test("resume: killed run re-validates ONLY uncommitted batches, final audit identical") {
+    val rootA = tempDir(); val rootB = tempDir()
+    try {
+      val ioA = new ParquetTableIO(rootA)
+      SuiteRunner.run(spark, code, dim, ioA)
+      val full = ioA.readCommitted(spark, "verdicts").get
+        .orderBy("batch_id", "check", "column").collect().map(_.toString).toSeq
+
+      // simulate a kill after batches 0,1: run, then delete commits 2,3
+      val ioB = new ParquetTableIO(rootB)
+      SuiteRunner.run(spark, code, dim, ioB)
+      Seq(2L, 3L).foreach { b =>
+        Files.delete(Path.of(s"$rootB/verdicts/_manifest/p$b.json"))
+      }
+      assert(ioB.listCommitted("verdicts") == Seq(0L, 1L))
+      val resumed = SuiteRunner.run(spark, code, dim, ioB)
+      assert(resumed.map(_.batch_id).distinct.sorted == Seq(2L, 3L), "must only touch pending batches")
+      val after = ioB.readCommitted(spark, "verdicts").get
+        .orderBy("batch_id", "check", "column").collect().map(_.toString).toSeq
+      assert(after == full, "resumed audit must equal single-run audit")
+
+      // idempotence: nothing pending → no-op
+      assert(SuiteRunner.run(spark, code, dim, ioB).isEmpty)
+    } finally { rmdir(rootA); rmdir(rootB) }
+  }
+
+  test("salted per-repo counts equal plain groupBy counts (exactness under skew)") {
+    val plain = code.groupBy("repo").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = graft.suite.Salting
+      .saltedCount(code, "repo", saltSource = Seq("path", "commit"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+}
