@@ -1,24 +1,77 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Emits ONE JSON line:
+  *   {"metric":"validated files/sec", "value":<throughput>, "unit":"files/sec",
+  *    "queries":{<name>:<sec>,...,"suite_sec":...,"suite_rows":...},
+  *    "sf":<dir>, "cpus":<n>}
+  *
+  * The headline metric (BASELINE.json) is suite throughput: rows of the
+  * synthetic code table validated per second by the FULL constraint + drift
+  * suite (read → stats → constraints → drift → audit commit). Scaling
+  * efficiency N→4N cores is measured by running this main at
+  * SPARK_GRAFT_CPUS=8 and 32 on the same input (see BENCH/BASELINE.md).
+  */
 object Bench {
+  // representative per-operator queries also timed (one run each)
+  private val Headline = Seq(
+    "q_agg_pricing_summary", "q_stats_onepass", "q_ks_statistic", "q_psi",
+    "q_count_window_drift", "q_join_enrich", "q_dedup_exact",
+    "q_minhash_pairs", "q_simhash_pairs", "q_ann_bruteforce", "q_token_stats",
+    "q_langid", "q_time_window_agg")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val suiteRows = sys.env.getOrElse("SPARK_GRAFT_SUITE_ROWS", "2000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- suite throughput (the BASELINE metric) ----
+    // generate the bench code table ONCE to parquet so the timed run reads
+    // from disk like production (generation excluded from the timing)
+    val benchInput = s"/tmp/graft_bench_input_$suiteRows"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(benchInput, "_SUCCESS"))) {
+      gen.CodeTableGen.generate(spark, suiteRows, batches = 4)
+        .write.mode("overwrite").parquet(benchInput)
+    }
+    val dim = gen.CodeTableGen.repoLangDim(spark)
+    // warm-up (JIT + codegen caches), excluded per BASELINE.md protocol
+    locally {
+      val tmpW = java.nio.file.Files.createTempDirectory("graft_bench_w").toString
+      suite.SuiteRunner.run(spark, gen.CodeTableGen.generate(spark, 50000, 4), dim,
+        new tableio.ParquetTableIO(tmpW))
+    }
+    val runs = (1 to 3).map { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
+      val code = spark.read.parquet(benchInput)
+      time(suite.SuiteRunner.run(spark, code, dim, new tableio.ParquetTableIO(tmp)))
+    }.sorted
+    val suiteSec = runs(runs.length / 2) // median of 3
+    val filesPerSec = suiteRows / suiteSec
+
+    // ---- per-operator queries ----
+    val qTimes = Headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        name -> (try time(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+        catch { case _: Throwable => -1.0 })
+      }
+    }
+
+    val qs = (qTimes ++ Seq("suite_sec" -> suiteSec, "suite_rows" -> suiteRows.toDouble))
+      .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"validated files/sec","value":${f"$filesPerSec%.1f"},"unit":"files/sec","queries":$qs,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }

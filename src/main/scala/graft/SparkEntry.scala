@@ -1,13 +1,649 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.drift.{Drift, KsTest}
+import graft.sim.Ann
+import graft.stats.{Sketches, Stats}
+import graft.text.TextAnalysis
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2,
+  * plus the training-data pipeline operators (dedup/ANN/text/multimodal).
+  * Every SQL-expressible query has a DuckDB oracle in [[oracleSql]] with
+  * IDENTICAL column names and rounding; non-SQL-expressible ops (sketches,
+  * p-values, LSH pipelines, the suite itself) are rows-only checks.
+  */
 object SparkEntry {
+
+  private val BaselineDate = "1998-01-01" // lineitem baseline/current split
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_agg_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------ helpers
+
+  private def one(spark: SparkSession, names: Seq[String], vals: Seq[Double]): DataFrame = {
+    val row = org.apache.spark.sql.Row(vals: _*)
+    val schema = org.apache.spark.sql.types.StructType(names.map(n =>
+      org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(java.util.List.of(row), schema)
+  }
+
+  private def r(c: Column, n: Int = 4): Column = round(c, n)
+
+  /** Perturbed near-duplicate corpus: documents ∪ copies of the first 50
+    * docs with the last word dropped (deterministic near-dups for the
+    * minhash/simhash/jaccard pipelines).
+    */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val dups = docs.where(col("doc_id") < 50).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+    docs.unionByName(dups)
+  }
+
+  // ------------------------------------------------------------ queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ===== aggregation / stats core (SURVEY A1-A6, A13-A15) =====
+
+    // A7-style multi-aggregate with map-side partial agg (TPC-H Q1 shape)
+    "q_agg_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(r(sum("l_quantity"), 2).as("sum_qty"),
+          r(sum("l_extendedprice"), 2).as("sum_price"),
+          r(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // one-pass multi-column stats (A2/A4 pattern: ONE HashAggregate)
+    "q_stats_onepass" -> ((s, dir) => {
+      Tables.lineitem(s, dir).agg(
+        count(lit(1)).as("n"),
+        r(min("l_quantity"), 2).as("qty_min"), r(max("l_quantity"), 2).as("qty_max"),
+        r(avg("l_quantity"), 6).as("qty_mean"), r(stddev_samp(col("l_quantity")), 6).as("qty_std"),
+        r(min("l_extendedprice"), 2).as("price_min"), r(max("l_extendedprice"), 2).as("price_max"),
+        r(avg("l_extendedprice"), 4).as("price_mean"), r(stddev_samp(col("l_extendedprice")), 4).as("price_std"))
+    }),
+
+    // A5 exact median
+    "q_median" -> ((s, dir) => {
+      Tables.lineitem(s, dir).agg(
+        r(median(col("l_quantity")), 4).as("qty_median"),
+        r(median(col("l_discount")), 4).as("disc_median"))
+    }),
+
+    // exact distinct counts (vs the HLL path below)
+    "q_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir).agg(
+        countDistinct(col("l_partkey")).as("parts"),
+        countDistinct(col("l_suppkey")).as("supps"),
+        countDistinct(col("l_orderkey")).as("orders"))
+    }),
+
+    // A14 HLL approximate distinct (sketch — tolerance-checked, no oracle)
+    "q_hll_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir).agg(
+        approx_count_distinct(col("l_partkey")).as("parts_approx"),
+        approx_count_distinct(col("l_orderkey")).as("orders_approx"))
+    }),
+
+    // A15 t-digest quantiles (mergeable sketch — no oracle)
+    "q_tdigest" -> ((s, dir) => {
+      Tables.lineitem(s, dir).agg(
+        r(Sketches.tdigestQuantile(Sketches.tdigestAgg(col("l_extendedprice")), lit(0.5)), 2).as("p50"),
+        r(Sketches.tdigestQuantile(Sketches.tdigestAgg(col("l_extendedprice")), lit(0.95)), 2).as("p95"))
+    }),
+
+    // A6 10-bin equi-width histogram, numpy right-edge convention
+    "q_histogram" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val mm = li.agg(min("l_extendedprice"), max("l_extendedprice")).collect()(0)
+      val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+      li.groupBy(Stats.bucketExpr(col("l_extendedprice"), lo, hi).as("bin"))
+        .agg(count(lit(1)).as("n")).orderBy("bin")
+    }),
+
+    // A2/A3 completeness counts + rates in one pass (missing predicates P5)
+    "q_completeness" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.agg(
+        count(lit(1)).as("total"),
+        sum(when(col("value").isNull || isnan(col("value")), 1L).otherwise(0L)).as("missing_value"),
+        sum(when(col("props").isNull || col("props") === "", 1L).otherwise(0L)).as("missing_props"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("missing_user"))
+    }),
+
+    // P6 conditional range expectation (GE row_condition semantics)
+    "q_conditional_range" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.agg(
+        sum(when(col("event_type") === "purchase" &&
+          (col("value") < 0 || col("value") > 100), 1L).otherwise(0L)).as("purchase_range_failures"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchase_rows"))
+    }),
+
+    // ===== windows (W1-W4, A7, A8) =====
+
+    // A8: count-based tumbling windows of 50 per key; unusual ratio > 0.10
+    // (sensor.py:186-193 batch analog — the window RESETS at 50, so windows
+    // tumble). unusual := value > 150.
+    "q_count_window_drift" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      e.withColumn("rn", row_number().over(w))
+        .withColumn("win", floor((col("rn") - 1) / 50))
+        .groupBy("event_type", "win")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 150, 1L).otherwise(0L)).as("unusual"))
+        .where(col("n") === 50)
+        .withColumn("ratio", r(col("unusual") / 50.0, 4))
+        .withColumn("drift", (col("unusual") / 50.0) > 0.10)
+        .select("event_type", "win", "unusual", "ratio", "drift")
+        .orderBy("event_type", "win")
+    }),
+
+    // W2/A7: 5-minute tumbling window (count, sum) per key
+    "q_time_window_agg" -> ((s, dir) => {
+      Tables.events(s, dir).where(col("event_type") === "click")
+        .groupBy(window(col("ts"), "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), r(sum("value"), 4).as("value_sum"))
+        .select(unix_timestamp(col("w.start")).as("window_start"), col("n"), col("value_sum"))
+        .orderBy("window_start")
+    }),
+
+    // W3/O5: top-k per group with deterministic ties
+    "q_topk_per_group" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rank")
+    }),
+
+    // O1/O2: sort desc + limit (news output semantics)
+    "q_sort_limit" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .orderBy(col("n_chars").desc, col("doc_id").asc).limit(20)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
+    // F9: JSON parse of the props column
+    "q_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", from_json(col("props"), lit("k INT")).getField("k"))
+        .groupBy("event_type").agg(sum("k").as("k_sum"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // P8: status labeling (UNUSUAL/Normal per sensor.py:183)
+    "q_status_label" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("status", when(col("value") > 150, "UNUSUAL").otherwise("Normal"))
+        .groupBy("event_type", "status").agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "status")
+    }),
+
+    // ===== joins (J1-J4) =====
+
+    // J2-style enrichment via two broadcast dims (supplier → nation)
+    "q_join_enrich" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val nat = Tables.nation(s, dir)
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .groupBy("n_name")
+        .agg(r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("n_name")
+    }),
+
+    // J1: referential-integrity anti-join against a broadcast dimension
+    "q_referential_antijoin" -> ((s, dir) => {
+      import s.implicits._
+      val allowed = Seq("en", "es", "de", "fr").toDF("lang")
+      Tables.documents(s, dir)
+        .join(broadcast(allowed), Seq("lang"), "left_anti")
+        .groupBy("lang").agg(count(lit(1)).as("violations"))
+        .orderBy("lang")
+    }),
+
+    // J4/U3: incremental anti-join vs the "seen" set
+    "q_incremental_antijoin" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val seen = d.where(col("doc_id") < 250).select("lang", "source")
+      Dedup.newOnly(d.where(col("doc_id") >= 250), seen, Seq("lang", "source"))
+        .select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
+
+    // U1/U2: union + dedup
+    "q_union_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val a = d.where(col("doc_id") < 300)
+      val b = d.where(col("doc_id") >= 200)
+      a.unionByName(b).dropDuplicates("doc_id")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+    }),
+
+    // ===== dedup family =====
+
+    // A12 exact dedup via normalized-content fingerprint
+    "q_dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir).agg(
+        count(lit(1)).as("total"),
+        countDistinct(TextAnalysis.fingerprint(col("text"))).as("distinct_fp"))
+    }),
+
+    // A12 first-wins (news.py:74-82)
+    "q_dedup_firstwins" -> ((s, dir) => {
+      Dedup.firstWins(Tables.documents(s, dir), Seq("lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source").orderBy("lang", "source")
+    }),
+
+    // A12 last-wins (news.py:350-356)
+    "q_dedup_lastwins" -> ((s, dir) => {
+      Dedup.lastWins(Tables.documents(s, dir), Seq("lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source").orderBy("lang", "source")
+    }),
+
+    // MinHash + LSH near-dup pairs (no oracle — LSH pipeline)
+    "q_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashLshPairs(nearDupCorpus(s, dir), "doc_id", "text", threshold = 0.5)
+        .withColumn("est_jaccard", r(col("est_jaccard"), 4))
+        .orderBy("id1", "id2")
+    }),
+
+    // SimHash near-dup pairs (no oracle)
+    "q_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(nearDupCorpus(s, dir), "doc_id", "text", maxDist = 3)
+        .orderBy("id1", "id2")
+    }),
+
+    // exact n-gram Jaccard over minhash candidates (no oracle)
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val sh = corpus.select(col("doc_id"),
+        Dedup.shingleHashes(col("text"), 3).as("sh"))
+      val cand = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.3)
+      cand.join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+        .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+        .select(col("id1"), col("id2"), r(Dedup.jaccard(col("sh1"), col("sh2")), 4).as("jaccard"))
+        .where(col("jaccard") >= 0.5)
+        .orderBy("id1", "id2")
+    }),
+
+    // embedding-cosine near-dup pairs via sign-LSH (no oracle). The driver
+    // embeddings are random (no true near-dups), so near-dup vectors are
+    // injected deterministically: copies of the first 20 with one
+    // coordinate nudged (cosine ≈ 0.999).
+    "q_embedding_pairs" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val dups = e.where(col("vec_id") < 20).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+      Dedup.embeddingPairs(e.unionByName(dups), "vec_id", "embedding",
+        threshold = 0.9, bits = 8)
+        .withColumn("cosine", r(col("cosine"), 4))
+        .orderBy("id1", "id2")
+    }),
+
+    // ===== similarity search =====
+
+    // brute-force cosine top-k (exact baseline)
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Ann.bruteForceTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+        .withColumn("cosine", r(col("cosine"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (scale path; recall measured in tests — no oracle)
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Ann.lshTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 5, bits = 8)
+        .withColumn("cosine", r(col("cosine"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ===== text analysis =====
+
+    "q_token_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.groupBy("lang").agg(
+        r(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_tokens"),
+        r(avg(TextAnalysis.subwordCount(col("text"))), 4).as("avg_subwords"),
+        r(avg(TextAnalysis.qualityScore(col("text"))), 4).as("avg_quality"))
+        .orderBy("lang")
+    }),
+
+    "q_langid" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("predicted", TextAnalysis.langId(col("text")))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).where(col("doc_id") < 20)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ===== drift (A9-A11, A16, A17) =====
+
+    // A9 exact two-sample KS statistic, distributed (ties included)
+    "q_ks_statistic" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val isBase = col("l_shipdate") < lit(BaselineDate).cast("timestamp")
+      val price = KsTest.ks2Samp(li, "l_extendedprice", isBase)
+      val qty = KsTest.ks2Samp(li, "l_quantity", isBase)
+      one(s, Seq("ks_price", "ks_qty"),
+        Seq(math.rint(price.statistic * 1e6) / 1e6, math.rint(qty.statistic * 1e6) / 1e6))
+    }),
+
+    // A16 PSI over 10 baseline-pinned bins
+    "q_psi" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val isBase = col("l_shipdate") < lit(BaselineDate).cast("timestamp")
+      val v = Drift.psiNumeric(li, "l_quantity", isBase)
+      one(s, Seq("psi_qty"), Seq(math.rint(v * 1e6) / 1e6))
+    }),
+
+    // A17 chi-square statistic on a categorical column
+    "q_chisq" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val isBase = col("source").isin((0 until 10).map(i => s"src$i"): _*)
+      val (stat, _, _) = Drift.chiSquareCategorical(d, "lang", isBase)
+      one(s, Seq("chisq_lang"), Seq(math.rint(stat * 1e6) / 1e6))
+    }),
+
+    // A10 normalized mean shift |Δmean|/ref_std
+    "q_mean_shift" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val isBase = col("l_shipdate") < lit(BaselineDate).cast("timestamp")
+      val agg = li.agg(
+        avg(when(isBase, col("l_extendedprice"))).as("m1"),
+        stddev_samp(when(isBase, col("l_extendedprice"))).as("s1"),
+        avg(when(!isBase, col("l_extendedprice"))).as("m2")).collect()(0)
+      val shift = Drift.meanDifference(agg.getDouble(0), agg.getDouble(1), agg.getDouble(2))
+      one(s, Seq("mean_shift"), Seq(math.rint(shift * 1e6) / 1e6))
+    }),
+
+    // A9+A11 full drift report with p-values and rollup (no oracle: p-values)
+    "q_drift_report" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val isBase = col("l_shipdate") < lit(BaselineDate).cast("timestamp")
+      val rep = Drift.detect(li, Seq("l_quantity", "l_extendedprice", "l_discount"),
+        Seq("l_returnflag"), isBase)
+      rep.feature_drift.toDF()
+        .withColumn("statistic", r(col("statistic"), 6))
+        .withColumn("p_value", r(col("p_value"), 6))
+        .withColumn("mean_difference", r(col("mean_difference"), 6))
+        .orderBy("column", "test")
+    }),
+
+    // ===== engine suite over the synthetic code table (no oracle) =====
+
+    "q_code_suite" -> ((s, dir) => {
+      import s.implicits._
+      val rows = if (dir.contains("0.001")) 20000L else 100000L
+      val code = graft.gen.CodeTableGen.generate(s, rows, batches = 4)
+      val dim = graft.gen.CodeTableGen.repoLangDim(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q_suite").toString
+      val verdicts = graft.suite.SuiteRunner.run(s, code, dim, new graft.tableio.ParquetTableIO(tmp))
+      verdicts.toDF()
+        .withColumn("metric", r(col("metric"), 6))
+        .withColumn("p_value", r(col("p_value"), 6))
+        .orderBy("batch_id", "check", "column")
+    }),
+
+    // multimodal feature plumbing (stub decode — no oracle)
+    "q_multimodal_features" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.syntheticMedia(s, 1000)
+      graft.multimodal.Multimodal.extractFeatures(media, dim = 8).toDF()
+        .select(col("media_id"), col("modality"),
+          r(element_at(col("feature"), 1), 4).as("f0"), col("n_frames"))
+        .orderBy("media_id")
+    }))
+
+  // ------------------------------------------------------------ oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS n
+         FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+
+    "q_stats_onepass" ->
+      """SELECT count(*) AS n,
+         round(min(l_quantity),2) AS qty_min, round(max(l_quantity),2) AS qty_max,
+         round(avg(l_quantity),6) AS qty_mean, round(stddev_samp(l_quantity),6) AS qty_std,
+         round(min(l_extendedprice),2) AS price_min, round(max(l_extendedprice),2) AS price_max,
+         round(avg(l_extendedprice),4) AS price_mean, round(stddev_samp(l_extendedprice),4) AS price_std
+         FROM lineitem""",
+
+    "q_median" ->
+      """SELECT round(median(l_quantity),4) AS qty_median,
+         round(median(l_discount),4) AS disc_median FROM lineitem""",
+
+    "q_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS parts,
+         count(DISTINCT l_suppkey) AS supps,
+         count(DISTINCT l_orderkey) AS orders FROM lineitem""",
+
+    "q_histogram" ->
+      """WITH mm AS (SELECT min(l_extendedprice) lo, max(l_extendedprice) hi FROM lineitem)
+         SELECT least(9, floor((l_extendedprice - lo) * 10 / (hi - lo)))::INT AS bin,
+                count(*) AS n
+         FROM lineitem, mm GROUP BY 1 ORDER BY 1""",
+
+    "q_completeness" ->
+      """SELECT count(*) AS total,
+         CAST(sum(CASE WHEN value IS NULL OR isnan(value) THEN 1 ELSE 0 END) AS BIGINT) AS missing_value,
+         CAST(sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS BIGINT) AS missing_props,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_user
+         FROM events""",
+
+    "q_conditional_range" ->
+      """SELECT
+         CAST(sum(CASE WHEN event_type = 'purchase' AND (value < 0 OR value > 100) THEN 1 ELSE 0 END) AS BIGINT) AS purchase_range_failures,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_rows
+         FROM events""",
+
+    "q_count_window_drift" ->
+      """WITH numbered AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+           FROM events),
+         wins AS (
+           SELECT event_type, CAST(floor((rn - 1) / 50) AS BIGINT) AS win,
+                  count(*) AS n,
+                  CAST(sum(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS BIGINT) AS unusual
+           FROM numbered GROUP BY 1, 2)
+         SELECT event_type, win, unusual,
+                round(unusual / 50.0, 4) AS ratio,
+                (unusual / 50.0) > 0.10 AS drift
+         FROM wins WHERE n = 50 ORDER BY event_type, win""",
+
+    "q_time_window_agg" ->
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+                count(*) AS n, round(sum(value), 4) AS value_sum
+         FROM events WHERE event_type = 'click'
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+           FROM orders) WHERE rank <= 3 ORDER BY o_orderpriority, rank""",
+
+    "q_sort_limit" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         ORDER BY n_chars DESC, doc_id ASC LIMIT 20""",
+
+    "q_json_extract" ->
+      """SELECT event_type,
+                CAST(sum(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+                count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_status_label" ->
+      """SELECT event_type,
+                CASE WHEN value > 150 THEN 'UNUSUAL' ELSE 'Normal' END AS status,
+                count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_join_enrich" ->
+      """SELECT n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                count(*) AS n
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_referential_antijoin" ->
+      """SELECT lang, count(*) AS violations FROM documents
+         WHERE lang NOT IN ('en', 'es', 'de', 'fr')
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_incremental_antijoin" ->
+      """SELECT doc_id, lang, source FROM documents d
+         WHERE doc_id >= 250 AND NOT EXISTS (
+           SELECT 1 FROM documents s
+           WHERE s.doc_id < 250 AND s.lang = d.lang AND s.source = d.source)
+         ORDER BY doc_id""",
+
+    "q_union_dedup" ->
+      """WITH u AS (
+           SELECT * FROM documents WHERE doc_id < 300
+           UNION ALL SELECT * FROM documents WHERE doc_id >= 200),
+         d AS (SELECT DISTINCT doc_id FROM u)
+         SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM d""",
+
+    "q_dedup_exact" ->
+      """SELECT count(*) AS total,
+                count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS distinct_fp
+         FROM documents""",
+
+    "q_dedup_firstwins" ->
+      """SELECT doc_id, lang, source FROM documents
+         QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) = 1
+         ORDER BY lang, source""",
+
+    "q_dedup_lastwins" ->
+      """SELECT doc_id, lang, source FROM documents
+         QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id DESC) = 1
+         ORDER BY lang, source""",
+
+    "q_token_stats" ->
+      """SELECT lang,
+         round(avg(CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 4) AS avg_tokens,
+         round(avg((SELECT coalesce(sum(floor((length(w) + 3) / 4)), 0)
+                    FROM unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w))), 4) AS avg_subwords,
+         round(avg(
+           least(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END / 100.0, 1.0) * 0.4
+           + least((len(regexp_extract_all(lower(text), '\b(and|das|de|der|des|die|el|et|is|ist|la|le|les|los|of|que|the|to|und)\b'))
+                    / greatest(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1)::DOUBLE) * 5.0, 1.0) * 0.3
+           + (1.0 - least((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+                          / greatest(length(text), 1) * 10.0, 1.0)) * 0.3), 4) AS avg_quality
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q_langid" ->
+      """WITH scored AS (
+           SELECT lang,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\b(el|la|que|de|los)\b')) AS s_es,
+             len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr,
+             regexp_matches(text, '[一-鿿]') AS is_zh
+           FROM documents),
+         pred AS (
+           SELECT lang,
+             CASE WHEN is_zh THEN 'zh'
+                  WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                  WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                  ELSE 'fr' END AS predicted
+           FROM scored)
+         SELECT lang, predicted, count(*) AS n FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+                md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+         FROM documents WHERE doc_id < 20 ORDER BY doc_id""",
+
+    "q_ks_statistic" ->
+      """WITH clean AS (
+           SELECT l_extendedprice AS vp, l_quantity AS vq,
+                  CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS s1
+           FROM lineitem),
+         cp AS (SELECT vp AS v, sum(s1) c1, sum(1 - s1) c2 FROM clean GROUP BY 1),
+         cq AS (SELECT vq AS v, sum(s1) c1, sum(1 - s1) c2 FROM clean GROUP BY 1),
+         cpc AS (SELECT CAST(sum(c1) OVER (ORDER BY v) AS DOUBLE) cum1,
+                        CAST(sum(c2) OVER (ORDER BY v) AS DOUBLE) cum2,
+                        CAST(sum(c1) OVER () AS DOUBLE) n1,
+                        CAST(sum(c2) OVER () AS DOUBLE) n2 FROM cp),
+         cqc AS (SELECT CAST(sum(c1) OVER (ORDER BY v) AS DOUBLE) cum1,
+                        CAST(sum(c2) OVER (ORDER BY v) AS DOUBLE) cum2,
+                        CAST(sum(c1) OVER () AS DOUBLE) n1,
+                        CAST(sum(c2) OVER () AS DOUBLE) n2 FROM cq),
+         dp AS (SELECT max(abs(cum1 * n2 - cum2 * n1)) / (max(n1) * max(n2)) AS d FROM cpc),
+         dq AS (SELECT max(abs(cum1 * n2 - cum2 * n1)) / (max(n1) * max(n2)) AS d FROM cqc)
+         SELECT round(dp.d, 6) AS ks_price, round(dq.d, 6) AS ks_qty FROM dp, dq""",
+
+    "q_psi" ->
+      """WITH base AS (
+           SELECT min(l_quantity) lo, max(l_quantity) hi FROM lineitem
+           WHERE l_shipdate < TIMESTAMP '1998-01-01'),
+         binned AS (
+           SELECT greatest(0, least(9, floor((l_quantity - lo) * 10 / (hi - lo))))::INT AS bin,
+                  CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS s1
+           FROM lineitem, base),
+         bins AS (SELECT range AS bin FROM range(10)),
+         hist AS (
+           SELECT bins.bin,
+                  coalesce(sum(s1), 0) AS c1, coalesce(sum(1 - s1), 0) AS c2
+           FROM bins LEFT JOIN binned ON bins.bin = binned.bin GROUP BY 1),
+         tot AS (SELECT sum(c1)::DOUBLE n1, sum(c2)::DOUBLE n2 FROM hist)
+         SELECT round(sum((greatest(c1 / n1, 1e-6) - greatest(c2 / n2, 1e-6))
+                        * ln(greatest(c1 / n1, 1e-6) / greatest(c2 / n2, 1e-6))), 6) AS psi_qty
+         FROM hist, tot""",
+
+    "q_chisq" ->
+      """WITH counts AS (
+           SELECT lang,
+                  sum(CASE WHEN source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9') THEN 1 ELSE 0 END) AS c1,
+                  sum(CASE WHEN source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9') THEN 0 ELSE 1 END) AS c2
+           FROM documents GROUP BY 1),
+         base AS (SELECT * FROM counts WHERE c1 > 0),
+         tot AS (SELECT sum(c1)::DOUBLE n1, sum(c2)::DOUBLE n2 FROM base)
+         SELECT round(sum(pow(c2 - c1 / n1 * n2, 2) / (c1 / n1 * n2)), 6) AS chisq_lang
+         FROM base, tot""",
+
+    "q_mean_shift" ->
+      """WITH s AS (
+           SELECT avg(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN l_extendedprice END) m1,
+                  stddev_samp(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN l_extendedprice END) s1,
+                  avg(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01' THEN l_extendedprice END) m2
+           FROM lineitem)
+         SELECT round(CASE WHEN s1 = 0 OR s1 IS NULL THEN 0 ELSE abs(m1 - m2) / s1 END, 6) AS mean_shift
+         FROM s""")
 }

@@ -1,0 +1,197 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines, scale-first:
+  * every variant reduces to hash/groupBy/join on compact keys — document
+  * text is digested to shingle hashes / signatures in the first projection
+  * and never shuffles.
+  *
+  * Reference semantics preserved: first-wins dedup on a composite key
+  * (news.py:74-82), last-wins on another key (news.py:350-356),
+  * incremental "seen" anti-join (news.py:560-573).
+  */
+object Dedup {
+
+  /** Exact dedup on a hash of the listed columns (hash-groupBy — one
+    * shuffle on a 64-bit key, never on the payload).
+    */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** First-wins dedup: keep the row with the SMALLEST `orderCol` per key
+    * (news.py:74-82 keeps the first-seen headline per title|url).
+    */
+  def firstWins(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Last-wins dedup (news.py:350-356: later source overwrites). */
+  def lastWins(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Incremental anti-join vs a committed "seen" table (news.py:560-573;
+    * also the audit-resume mechanism, SURVEY.md J4/U3).
+    */
+  def newOnly(incoming: DataFrame, seen: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(seen.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  // ---------------------------------------------------------------- shingles
+
+  /** Word n-gram shingles of normalized text, hashed to 64-bit. */
+  def shingleHashes(text: Column, n: Int = 3): Column = {
+    val words = split(TextAnalysis.normalize(text), " ")
+    val grams = when(size(words) < n, array(xxhash64(TextAnalysis.normalize(text))))
+      .otherwise(transform(sequence(lit(0), size(words) - n),
+        i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(n))))))
+    array_distinct(grams)
+  }
+
+  /** Exact n-gram Jaccard similarity of two shingle-hash arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** MinHash signature: k independent hash functions h_i(s) = xxhash64(s, i)
+    * (seeded re-hash of each shingle hash), each taking the min over the
+    * document's shingles. Standard estimator: Jaccard ≈ fraction of agreeing
+    * signature positions.
+    */
+  def minhashSignature(shingles: Column, k: Int = 64): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** LSH banding of a minhash signature into `bands` hashed band keys.
+    * Two docs sharing ≥1 band key become a candidate pair; with k=64,
+    * bands=16 (rows/band=4) the match threshold is ≈ (1/16)^(1/4) ≈ 0.5.
+    */
+  def lshBandKeys(sig: Column, bands: Int = 16, k: Int = 64): Column = {
+    val rows = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, concat_ws(",", slice(sig, b * rows + 1, lit(rows)))))
+  }
+
+  /** Candidate near-duplicate pairs via MinHash-LSH:
+    *   shingle → minhash → band → bucket self-join → signature-agreement
+    * filter ≥ `threshold`. The join key is (band index, band hash) — a
+    * compact 64-bit bucket join; only (id, signature) rows shuffle, never
+    * text. `idCol` must be unique; pairs are emitted once (id1 < id2).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
+                      shingleN: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+        minhashSignature(shingleHashes(col(textCol), shingleN), k).as("sig"))
+    val buckets = sigs.select(col("id"), col("sig"),
+        posexplode(lshBandKeys(col("sig"), bands, k)).as(Seq("band", "bkey")))
+    val l = buckets.select(col("band"), col("bkey"), col("id").as("id1"), col("sig").as("sig1"))
+    val r = buckets.select(col("band"), col("bkey"), col("id").as("id2"), col("sig").as("sig2"))
+    val cand = l.join(r, Seq("band", "bkey")).where(col("id1") < col("id2"))
+      .select("id1", "id2", "sig1", "sig2").dropDuplicates("id1", "id2")
+    cand
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig1"), col("sig2"),
+          (a, b) => when(a === b, 1).otherwise(0)), lit(0),
+          (acc, x) => acc + x).cast("double") / k)
+      .where(col("est_jaccard") >= threshold)
+      .select("id1", "id2", "est_jaccard")
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash of normalized word tokens: per bit b, sum ±1 over token
+    * hashes' bit b; simhash bit = 1 iff the sum is positive. Pure
+    * `functions.aggregate` over the token array — one pass, no UDF.
+    */
+  def simhash64(text: Column): Column = {
+    val tokens = split(TextAnalysis.normalize(text), " ")
+    val counts = aggregate(
+      tokens,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, b) => a + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs with hamming ≤ maxDist, found via
+    * 4×16-bit block LSH (pigeonhole: distance ≤ 3 ⇒ at least one of 4
+    * blocks identical — exact recall for maxDist ≤ 3).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val blocks = sh.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("block", "bval")))
+    val l = blocks.select(col("block"), col("bval"), col("id").as("id1"), col("sh").as("sh1"))
+    val r = blocks.select(col("block"), col("bval"), col("id").as("id2"), col("sh").as("sh2"))
+    l.join(r, Seq("block", "bval")).where(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", hamming64(col("sh1"), col("sh2")))
+      .where(col("hamming") <= maxDist)
+      .select("id1", "id2", "hamming")
+  }
+
+  // ------------------------------------------------------------- embeddings
+
+  /** Cosine similarity of two float-array columns (zip_with dot product —
+    * codegen'd, no UDF).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom === 0, 0.0).otherwise(dot(a, b) / denom)
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold. Candidates come
+    * from sign-LSH buckets (hyperplanes from seeded hashes — deterministic);
+    * exact cosine verifies. At 100 TB the bucket join replaces the O(n²)
+    * cross join; recall is tunable via `bits`.
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.95, bits: Int = 8): DataFrame = {
+    val sig = signLshSignature(col(vecCol), bits)
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("sig"))
+    val l = e.select(col("sig"), col("id").as("id1"), col("v").as("v1"))
+    val r = e.select(col("sig"), col("id").as("id2"), col("v").as("v2"))
+    l.join(r, Seq("sig")).where(col("id1") < col("id2"))
+      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .where(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+
+  /** Sign-LSH signature: bit j = sign(v · r_j) where r_j is a deterministic
+    * pseudo-random ±1 hyperplane derived from xxhash64(j, i).
+    */
+  def signLshSignature(v: Column, bits: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), j => {
+        val dotJ = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, i) => x * when(xxhash64(j, i).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+          lit(0.0d), (acc, x) => acc + x)
+        when(dotJ > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.sim.Ann
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends GraftSpec {
+  import spark.implicits._
+
+  /** Clustered synthetic embeddings: `nClusters` orthogonal-ish centroids,
+    * members = centroid + small deterministic perturbation. id encodes the
+    * cluster (id % nClusters).
+    */
+  private def clustered(n: Int, dim: Int, nClusters: Int) = {
+    val rnd = new scala.util.Random(7)
+    val centroids = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    (0 until n).map { i =>
+      val c = centroids(i % nClusters)
+      val noise = new scala.util.Random(1000 + i)
+      (i.toLong, c.map(x => x + 0.05f * noise.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k: nearest neighbors are same-cluster, ranked by cosine") {
+    val e = clustered(200, 16, 10)
+    val out = Ann.bruteForceTopK(e.where(col("vec_id") < 5), e, "vec_id", "embedding", k = 5)
+      .collect()
+    assert(out.length == 25)
+    // every neighbor of query q is in q's cluster (clusters are far apart)
+    out.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") % 10 == r.getAs[Long]("query_id") % 10,
+        s"bad neighbor: $r")
+      assert(r.getAs[Double]("cosine") > 0.9)
+    }
+    // ranks are 1..5 per query, cosine non-increasing
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+      val cs = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cs == cs.sorted.reverse)
+    }
+  }
+
+  test("LSH top-k achieves high recall vs brute force on clustered data") {
+    val e = clustered(500, 16, 10)
+    val q = e.where(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Ann.lshTopK(q, e, "vec_id", "embedding", k = 5, bits = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall too low")
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends GraftSpec {
+  import spark.implicits._
+
+  val headlines = Seq(
+    // (title, source, url, arrival)
+    ("Quake hits", "reuters", "http://a", 1L),
+    ("Quake hits", "reuters", "http://a", 2L), // same title|url → first wins
+    ("Quake hits", "ap", "http://b", 3L),
+    ("Markets rally", "reuters", "http://c", 4L),
+    ("Markets rally", "reuters", "http://d", 5L) // same title|source → last wins
+  ).toDF("title", "source", "url", "arrival")
+
+  test("first-wins dedup on title|url keeps the earliest (news.py:74-82)") {
+    val out = Dedup.firstWins(headlines, Seq("title", "url"), "arrival")
+      .orderBy("arrival").collect()
+    assert(out.map(_.getAs[Long]("arrival")).toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("last-wins dedup on title|source keeps the latest (news.py:350-356)") {
+    val out = Dedup.lastWins(headlines, Seq("title", "source"), "arrival")
+      .orderBy("arrival").collect()
+    assert(out.map(_.getAs[Long]("arrival")).toSeq == Seq(2L, 3L, 5L))
+  }
+
+  test("incremental anti-join: second pass over identical input emits 0 rows (news.py:560-573)") {
+    val seen = headlines.select("title", "url")
+    assert(Dedup.newOnly(headlines, seen, Seq("title", "url")).count() == 0)
+    val more = Seq(("New story", "x", "http://z", 9L)).toDF("title", "source", "url", "arrival")
+    assert(Dedup.newOnly(headlines.unionByName(more), seen, Seq("title", "url")).count() == 1)
+  }
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // near-dup of 1
+    (3L, "completely different content about apache spark distributed compute engines"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact jaccard: identical docs = 1.0, disjoint docs = 0") {
+    val sh = docs.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
+    val j = sh.as("a").crossJoin(sh.as("b"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        Dedup.jaccard(col("a.sh"), col("b.sh")).as("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 3L)) == 0.0)
+    assert(j((1L, 2L)) > 0.6 && j((1L, 2L)) < 1.0)
+  }
+
+  test("minhash-LSH finds the near-dup and exact-dup pairs, not the unrelated one") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash signature agreement estimates true jaccard") {
+    val sh = docs.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
+    val sig = docs.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), 256).as("sig"))
+    val est = sig.as("a").crossJoin(sig.as("b"))
+      .where(col("a.doc_id") === 1 && col("b.doc_id") === 2)
+      .select(aggregate(zip_with(col("a.sig"), col("b.sig"),
+        (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v).cast("double") / 256)
+      .collect()(0).getDouble(0)
+    val truth = sh.as("a").crossJoin(sh.as("b"))
+      .where(col("a.doc_id") === 1 && col("b.doc_id") === 2)
+      .select(Dedup.jaccard(col("a.sh"), col("b.sh"))).collect()(0).getDouble(0)
+    assert(math.abs(est - truth) < 0.15, s"est $est vs true $truth")
+  }
+
+  test("simhash: identical docs distance 0; near-dups close; unrelated far") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(dist(1, 4) == 0)
+    assert(dist(1, 2) < dist(1, 3), s"near ${dist(1, 2)} far ${dist(1, 3)}")
+  }
+
+  test("simhash pair search finds exact dup via block LSH") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Int]("hamming")))
+    assert(pairs.exists(p => p._1 == 1 && p._2 == 4 && p._3 == 0))
+  }
+
+  test("embedding cosine: parallel vectors = 1, orthogonal = 0") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(2.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("id", "v")
+    val c = e.as("a").crossJoin(e.as("b"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        Dedup.cosine(col("a.v"), col("b.v")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(c((1L, 2L)) - 1.0) < 1e-6)
+    assert(math.abs(c((1L, 3L))) < 1e-6)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.streaming.DriftStream
+import graft.streaming.DriftStream.{DriftAlert, SensorEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def runStream(events: Seq[SensorEvent]): Seq[DriftAlert] = {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[SensorEvent]
+    val out = DriftStream.countWindowDrift(mem.toDS())
+    val qname = s"drift_out_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try {
+      mem.addData(events)
+      q.processAllAvailable()
+      spark.table(qname).as[DriftAlert].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("golden: 6 unusual in a 50-event window fires drift (0.12 > 0.10, sensor.py:175)") {
+    val ev = (1 to 50).map(i => SensorEvent("traffic", i, unusual = i <= 6))
+    val alerts = runStream(ev)
+    assert(alerts.size == 1)
+    assert(alerts.head.drift_detected)
+    assert(math.abs(alerts.head.unusual_ratio - 0.12) < 1e-12)
+  }
+
+  test("golden: 5 unusual does NOT fire (strict >, 0.10 is not > 0.10)") {
+    val ev = (1 to 50).map(i => SensorEvent("traffic", i, unusual = i <= 5))
+    val alerts = runStream(ev)
+    assert(alerts.size == 1)
+    assert(!alerts.head.drift_detected)
+    assert(alerts.head.unusual_ratio == 0.10)
+  }
+
+  test("window resets after completion; state spans micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[SensorEvent]
+    val out = DriftStream.countWindowDrift(mem.toDS())
+    val qname = s"drift_out_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try {
+      // 120 events across two micro-batches: windows complete at 50 and 100
+      mem.addData((1 to 70).map(i => SensorEvent("env", i, unusual = i <= 10)))
+      q.processAllAvailable()
+      mem.addData((71 to 120).map(i => SensorEvent("env", i, unusual = false)))
+      q.processAllAvailable()
+      val alerts = spark.table(qname).as[DriftAlert].collect().sortBy(_.window_end_seq)
+      assert(alerts.length == 2)
+      assert(alerts(0).window_end_seq == 50 && alerts(0).drift_detected) // 10/50 = 0.2
+      assert(alerts(1).window_end_seq == 100 && !alerts(1).drift_detected) // 0/50 after reset
+    } finally q.stop()
+  }
+
+  test("per-key isolation: windows are independent across sensor types") {
+    val ev = (1 to 50).map(i => SensorEvent("traffic", i, unusual = true)) ++
+      (1 to 50).map(i => SensorEvent("water", i, unusual = false))
+    val alerts = runStream(ev)
+    assert(alerts.size == 2)
+    assert(alerts.find(_.sensor_type == "traffic").get.drift_detected)
+    assert(!alerts.find(_.sensor_type == "water").get.drift_detected)
+  }
+
+  test("tumbling 5-minute window aggregate matches manual bucketing (DESIGN.md:283-291)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val e = graft.core.Tables.events(spark, sfDir)
+    val out = DriftStream.tumblingAgg(e, "click")
+    val manual = e.where(col("event_type") === "click")
+      .groupBy((floor(unix_timestamp(col("ts")) / 300) * 300).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+    val a = out.select(unix_timestamp(col("window_start")).as("bucket"), col("event_count"), col("value_sum"))
+      .orderBy("bucket").collect().map(_.toString).toSeq
+    val b = manual.select(col("bucket"), col("n"), col("s")).orderBy("bucket")
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+}
