@@ -340,6 +340,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // P4: location-relevance filter (news.py:401-413 semantics: keep doc if
+    // term appears in text, null-safe via coalesce)
+    "q_relevance_filter" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .where(lower(coalesce(col("text"), lit(""))).contains("spark"))
+        .groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")
+    }),
+
+    // F2: truncate at 100 chars + "..." (news.py:598-599)
+    "q_truncate" -> ((s, dir) => {
+      Tables.documents(s, dir).where(col("doc_id") < 10)
+        .select(col("doc_id"),
+          when(length(col("text")) > 100,
+            concat(substring(col("text"), 1, 100), lit("...")))
+            .otherwise(col("text")).as("snippet"))
+        .orderBy("doc_id")
+    }),
+
+    // F8: date arithmetic — daily event counts (date_trunc/F7 family)
+    "q_daily_counts" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"), r(sum("value"), 4).as("v"))
+        .orderBy("day")
+    }),
+
     // ===== drift (A9-A11, A16, A17) =====
 
     // A9 exact two-sample KS statistic, distributed (ties included)
@@ -589,6 +615,22 @@ object SparkEntry {
       """SELECT doc_id,
                 md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
          FROM documents WHERE doc_id < 20 ORDER BY doc_id""",
+
+    "q_relevance_filter" ->
+      """SELECT lang, count(*) AS n FROM documents
+         WHERE contains(lower(coalesce(text, '')), 'spark')
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_truncate" ->
+      """SELECT doc_id,
+                CASE WHEN length(text) > 100 THEN substring(text, 1, 100) || '...'
+                     ELSE text END AS snippet
+         FROM documents WHERE doc_id < 10 ORDER BY doc_id""",
+
+    "q_daily_counts" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+                round(sum(value), 4) AS v
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_ks_statistic" ->
       """WITH clean AS (
