@@ -138,7 +138,6 @@ object SuiteRunner {
       .where(col("batch_id").isin(batches: _*))
       .select(col("batch_id"),
         length(col("content")).cast("long").as("len"),
-        (sha2(col("content"), 256) === col("expected_sha256")).as("sha_ok"),
         (col("path").isNull || col("path") === "").as("path_missing"),
         (col("lang").isNull || col("lang") === "").as("lang_missing"),
         (col("content").isNull || col("content") === "").as("content_missing"),
@@ -153,25 +152,26 @@ object SuiteRunner {
       sum(when(col("path_missing"), 1L).otherwise(0L)).as("miss_path"),
       sum(when(col("lang_missing"), 1L).otherwise(0L)).as("miss_lang"),
       sum(when(col("content_missing"), 1L).otherwise(0L)).as("miss_content"),
-      sum(when(!col("sha_ok"), 1L).otherwise(0L)).as("sha_bad"),
       // order-independent batch fingerprint: decimal sum of row hashes
       // (decimal(38,0) cannot overflow under ANSI mode at any row count)
       sum(col("rowhash").cast("decimal(38,0)")).as("fp")).collect()
       .map(r => r.getAs[Long]("batch_id") -> r).toMap
 
-    // job 2: lang counts per batch
-    val langCounts = slim.groupBy("batch_id", "lang").count().collect()
-      .groupBy(_.getAs[Long]("batch_id"))
-      .map { case (b, rows) =>
-        b -> rows.map(r => Option(r.getAs[String]("lang")).getOrElse("") -> r.getAs[Long]("count")).toMap
-      }
-
-    // job 3: distinct-length counts per batch (feeds exact KS + PSI bins)
-    val lenCounts = slim.groupBy("batch_id", "len").count().collect()
-      .groupBy(_.getAs[Long]("batch_id"))
-      .map { case (b, rows) =>
-        b -> rows.map(r => r.getAs[Long]("len") -> r.getAs[Long]("count")).toSeq.sortBy(_._1)
-      }
+    // job 2: (lang, distinct-length) counts per batch in ONE scan — the
+    // cross-cardinality is |langs| × |distinct lengths| (tiny); lang
+    // marginals feed chi-square/PSI(lang), length marginals feed exact KS
+    // and PSI(length)
+    val cross = slim.groupBy("batch_id", "lang", "len").count().collect()
+    val byBatch = cross.groupBy(_.getAs[Long]("batch_id"))
+    val langCounts = byBatch.map { case (b, rows) =>
+      b -> rows.groupBy(r => Option(r.getAs[String]("lang")).getOrElse(""))
+        .map { case (l, rs) => l -> rs.map(_.getAs[Long]("count")).sum }
+    }
+    val lenCounts = byBatch.map { case (b, rows) =>
+      b -> rows.groupBy(_.getAs[Long]("len"))
+        .map { case (l, rs) => l -> rs.map(_.getAs[Long]("count")).sum }
+        .toSeq.sortBy(_._1)
+    }
 
     batches.flatMap { b =>
       scalars.get(b).map { r =>
@@ -181,7 +181,7 @@ object SuiteRunner {
           Option(r.getAs[Any]("len_mean")).map(_.asInstanceOf[Number].doubleValue).getOrElse(Double.NaN),
           Option(r.getAs[Any]("len_std")).map(_.asInstanceOf[Number].doubleValue).getOrElse(Double.NaN),
           r.getAs[Long]("miss_path"), r.getAs[Long]("miss_lang"), r.getAs[Long]("miss_content"),
-          r.getAs[Long]("sha_bad"),
+          0L, // shaMismatch filled by run() from the dedicated sha pass
           langCounts.getOrElse(b, Map.empty),
           lenCounts.getOrElse(b, Seq.empty),
           Option(r.getAs[java.math.BigDecimal]("fp"))
@@ -209,9 +209,12 @@ object SuiteRunner {
   /** Full run: resume-aware validation of every batch not yet committed.
     * Returns the verdicts written this run.
     */
-  def run(spark: SparkSession, code: DataFrame, repoLangDim: DataFrame,
+  def run(spark: SparkSession, codeRaw: DataFrame, repoLangDim: DataFrame,
           io: TableIO, baselineBatch: Long = 0L): Seq[Verdict] = {
     import spark.implicits._
+    // normalize batch_id: a disk layout partitioned by batch_id reads the
+    // partition column back as int — the engine contract is bigint
+    val code = codeRaw.withColumn("batch_id", col("batch_id").cast("bigint"))
     val allBatches = code.select("batch_id").distinct().as[Long].collect().sorted.toSeq
     val committed = io.listCommitted("verdicts").toSet
     val pending = allBatches.filterNot(committed)
@@ -227,27 +230,51 @@ object SuiteRunner {
     // shared violation jobs, batch-attributed, capped deterministically
     val pendingCode = code.where(col("batch_id").isin(pending: _*))
     val keyW = Window.partitionBy(col("batch_id")).orderBy(col("repo"), col("path"), col("commit"))
-    val dupViol = pendingCode.groupBy("batch_id", "repo", "path", "commit")
+
+    // Uniqueness, two-phase hash-first: phase 1 shuffles only a 64-bit key
+    // hash (not the ~100-byte string triple — 6× less shuffle I/O at 8M
+    // rows); phase 2 re-verifies candidate groups on the REAL key strings
+    // over the (tiny) semi-joined candidate rows, so a hash collision can
+    // never produce a false duplicate. Result is persisted once and feeds
+    // both the verdict counts and the capped sample.
+    val keyHash = xxhash64(col("repo"), col("path"), col("commit"))
+    val candHashes = pendingCode
+      .groupBy(col("batch_id"), keyHash.as("kh")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("batch_id", "kh")
+    val dupViol = pendingCode
+      .join(broadcast(candHashes),
+        pendingCode("batch_id") === candHashes("batch_id") && keyHash === col("kh"), "left_semi")
+      .groupBy("batch_id", "repo", "path", "commit")
       .agg(count(lit(1)).as("dup_count")).where(col("dup_count") > 1)
+      .persist()
     val dupCounts = dupViol.groupBy("batch_id")
       .agg(sum(col("dup_count") - 1).as("n")).collect()
       .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("n")).toMap
     val dupSample = dupViol.withColumn("rn", row_number().over(keyW))
       .where(col("rn") <= ViolationCap).drop("rn")
 
+    // referential: the violating (repo, lang) groups are tiny — aggregate
+    // once, persist, derive counts + sample without a second scan
     val refViol = pendingCode.select("batch_id", "repo", "lang")
       .join(broadcast(repoLangDim.select("repo", "lang").distinct()), Seq("repo", "lang"), "left_anti")
-    val refCounts = refViol.groupBy("batch_id").count().collect()
-      .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("count")).toMap
-    val refSample = refViol.groupBy("batch_id", "repo", "lang")
-      .agg(count(lit(1)).as("violation_count"))
+      .groupBy("batch_id", "repo", "lang")
+      .agg(count(lit(1)).as("violation_count")).persist()
+    val refCounts = refViol.groupBy("batch_id")
+      .agg(sum("violation_count").as("n")).collect()
+      .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("n")).toMap
+    val refSample = refViol
       .withColumn("rn", row_number().over(Window.partitionBy(col("batch_id"))
         .orderBy(col("repo"), col("lang"))))
       .where(col("rn") <= ViolationCap).drop("rn")
 
-    val shaViol = pendingCode
+    // ONE sha256 pass over content: materialize the (tiny) mismatch set,
+    // then derive both the per-batch counts and the capped sample from it
+    val shaViolAll = pendingCode
       .where(sha2(col("content"), 256) =!= col("expected_sha256"))
-      .select("batch_id", "repo", "path", "commit")
+      .select("batch_id", "repo", "path", "commit").persist()
+    val shaCounts = shaViolAll.groupBy("batch_id").count().collect()
+      .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("count")).toMap
+    val shaViol = shaViolAll
       .withColumn("rn", row_number().over(keyW)).where(col("rn") <= ViolationCap).drop("rn")
 
     val emptyPathViol = pendingCode
@@ -260,11 +287,23 @@ object SuiteRunner {
       "uniqueness" -> dupSample, "referential" -> refSample,
       "sha256_invariant" -> shaViol, "completeness_path" -> emptyPathViol)
 
-    // per-batch verdict assembly (driver-side, tiny) + per-batch commit
+    // ONE partitioned write per violation table covering ALL pending batches
+    // (a per-batch write loop re-plans the whole pipeline #tables × #batches
+    // times — measured 26 s of serial overhead at 8M rows, which capped the
+    // 8→32-core scaling efficiency at 0.51)
+    val t0 = System.nanoTime()
+    allViolations.foreach { case (name, df) =>
+      io.writeAllPartitions(df, s"violations_$name")
+    }
+    shaViolAll.unpersist()
+    dupViol.unpersist()
+    refViol.unpersist()
+
+    // per-batch verdict assembly (driver-side arithmetic on tiny aggregates)
     val out = scala.collection.mutable.ArrayBuffer.empty[Verdict]
     pending.foreach { b =>
-      val t0 = System.nanoTime()
-      val a = arts(b)
+      val a0 = arts(b)
+      val a = a0.copy(shaMismatch = shaCounts.getOrElse(b, 0L))
       val (ksD, ksP) = ksFromCounts(base.lenCounts, a.lenCounts)
       val psiLen = DriftMath.psi(basePropLen, histProportions(a.lenCounts, base.lenMin, base.lenMax))
       val psiLang = psiFromCounts(base.langCounts, a.langCounts)
@@ -299,21 +338,25 @@ object SuiteRunner {
         "completeness", "sha256_invariant").contains(v.check)).forall(_.passed)
       val score = if (!constraintsPass) 0.0 else 1.0 - errRates.max
       val withScore = verdicts :+ Verdict(b, "quality_score", "*", score, Double.NaN, 0.0, true, 0)
+      out ++= withScore
+    }
 
-      io.writePartition(withScore.toDF(), "verdicts", b)
-      allViolations.foreach { case (name, df) =>
-        io.writePartition(df.where(col("batch_id") === b), s"violations_$name", b)
-        io.commit(s"violations_$name", b, s"""{"batch_id":$b}""")
-      }
-      val lineage = Lineage(b, a.rows, a.fingerprint, SuiteVersion, baselineBatch,
-        (System.nanoTime() - t0) / 1000000)
-      io.writePartition(Seq(lineage).toDF(), "lineage", b)
+    // single partitioned writes for verdicts + lineage, then per-batch
+    // manifest commits IN ORDER (verdicts last per batch = the atomic commit
+    // point; a kill before a batch's commit leaves it pending and re-run)
+    val wallMs = (System.nanoTime() - t0) / 1000000 / math.max(1, pending.size)
+    io.writeAllPartitions(out.toSeq.toDF(), "verdicts")
+    val lineageRows = pending.map { b =>
+      val a = arts(b)
+      Lineage(b, a.rows, arts(b).fingerprint, SuiteVersion, baselineBatch, wallMs)
+    }
+    io.writeAllPartitions(lineageRows.toDF(), "lineage")
+    pending.foreach { b =>
+      val a = arts(b)
+      allViolations.foreach { case (name, _) => io.commit(s"violations_$name", b, s"""{"batch_id":$b}""") }
       io.commit("lineage", b, s"""{"batch_id":$b}""")
-      // verdicts manifest LAST — it is the batch's atomic commit point; a
-      // kill anywhere earlier leaves the batch pending and fully re-run
       io.commit("verdicts", b,
         s"""{"batch_id":$b,"rows":${a.rows},"fingerprint":"${a.fingerprint}","suite":"$SuiteVersion"}""")
-      out ++= withScore
     }
     out.toSeq
   }

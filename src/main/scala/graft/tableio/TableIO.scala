@@ -15,6 +15,11 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 trait TableIO {
   def writePartition(df: DataFrame, table: String, partition: Long): Unit
+  /** Write every partition present in `df` (which carries a `batch_id`
+    * column) in ONE job, dynamically overwriting only those partitions —
+    * the constant-job-count path the suite uses for all its outputs.
+    */
+  def writeAllPartitions(df: DataFrame, table: String): Unit
   def commit(table: String, partition: Long, meta: String): Unit
   def listCommitted(table: String): Seq[Long]
   def isCommitted(table: String, partition: Long): Boolean =
@@ -33,6 +38,11 @@ class ParquetTableIO(root: String) extends TableIO {
 
   override def writePartition(df: DataFrame, table: String, partition: Long): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(partDir(table, partition))
+
+  override def writeAllPartitions(df: DataFrame, table: String): Unit =
+    df.write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).parquet(tableDir(table))
 
   override def commit(table: String, partition: Long, meta: String): Unit = {
     Files.createDirectories(manifestDir(table))

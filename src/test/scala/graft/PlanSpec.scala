@@ -1,0 +1,85 @@
+package graft
+
+import graft.core.Tables
+import graft.gen.CodeTableGen
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the optimizations the 100 TB framing depends on
+  * must be visible in the executed plan, not assumed.
+  */
+class PlanSpec extends GraftSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("column pruning: stats query reads ONLY the aggregated columns from parquet") {
+    val df = Tables.lineitem(spark, sfDir).agg(
+      avg("l_quantity"), stddev_samp(col("l_extendedprice")))
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("l_quantity") && scan.contains("l_extendedprice"))
+    // the 14-column table must NOT be fully materialized
+    assert(!scan.contains("l_comment") && !scan.contains("l_shipdate") && !scan.contains("l_orderkey"),
+      s"scan not pruned: $scan")
+  }
+
+  test("predicate pushdown: filters reach the parquet scan (PushedFilters)") {
+    val df = Tables.lineitem(spark, sfDir)
+      .where(col("l_quantity") > 45).select("l_orderkey")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(l_quantity"),
+      s"filter not pushed: $scan")
+  }
+
+  test("referential check plans a BroadcastHashJoin (dim side broadcast, no shuffle of facts)") {
+    val code = CodeTableGen.generate(spark, 1000)
+    val dim = CodeTableGen.repoLangDim(spark)
+    val bad = code.join(broadcast(dim.select("repo", "lang").distinct()),
+      Seq("repo", "lang"), "left_anti")
+    val plan = executedPlan(bad)
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join: $plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("whole-stage codegen covers the stats aggregation pipeline") {
+    val df = Tables.lineitem(spark, sfDir).agg(
+      sum(when(col("l_quantity") > 10, 1L).otherwise(0L)),
+      avg("l_extendedprice"), min("l_discount"))
+    df.collect() // finalize the adaptive plan — codegen spans appear post-exec
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(plan.contains("WholeStageCodegen"), s"no codegen span: $plan")
+  }
+
+  test("t-digest aggregate routes to ObjectHashAggregate (sketch-friendly path)") {
+    val df = Tables.lineitem(spark, sfDir).agg(
+      graft.stats.Sketches.tdigestAgg(col("l_extendedprice")))
+    val plan = executedPlan(df)
+    assert(plan.contains("ObjectHashAggregate"), s"wrong agg exec: $plan")
+  }
+
+  test("disk layout partitioned by batch_id prunes unread batches from the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    CodeTableGen.generate(spark, 5000, batches = 4)
+      .write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp).where(col("batch_id") === 3)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    // partition filter present; only 1 of 4 directory partitions selected
+    assert(scan.contains("PartitionFilters") && scan.contains("batch_id"), scan)
+    val parts = df.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(parts.forall(_.contains("batch_id=3")), parts.mkString(","))
+  }
+
+  test("exact KS plan: single shuffle on distinct values, window over grouped counts only") {
+    val li = Tables.lineitem(spark, sfDir)
+    val clean = li.select(col("l_quantity").cast("double").as("v"),
+      when(col("l_shipdate") < "1998-01-01", 1L).otherwise(0L).as("s1"),
+      when(col("l_shipdate") < "1998-01-01", 0L).otherwise(1L).as("s2"))
+    val counts = clean.groupBy("v").agg(sum("s1").as("c1"), sum("s2").as("c2"))
+    val plan = counts.queryExecution.executedPlan.toString
+    // partial aggregation happens map-side before the exchange
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Exchange"), plan)
+  }
+}
