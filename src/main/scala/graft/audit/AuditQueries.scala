@@ -1,0 +1,43 @@
+package graft.audit
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.stats.Sketches
+import graft.tableio.TableIO
+
+/** Queries over the committed audit tables — including the cross-batch
+  * sketch merges that make checkpoint/resume exact for distributional
+  * state (north star: "per-column statistics … approximate distinct via
+  * HyperLogLog sketches, quantiles via t-digest" persisted per partition).
+  *
+  * Each validated batch commits one row of MERGEABLE sketch bytes
+  * (`sketches` table: HLL of the uniqueness key and of repo; t-digest of
+  * content length). A resumed or later run can therefore answer
+  * whole-table questions (global distinct keys, global quantiles) by
+  * merging committed bytes — no re-scan of validated partitions.
+  */
+object AuditQueries {
+
+  /** Global approximate distinct counts from committed per-batch HLL bytes
+    * (Spark's datasketches-backed hll_union_agg — mergeable by design).
+    */
+  def globalDistinct(spark: SparkSession, io: TableIO): Option[DataFrame] =
+    io.readCommitted(spark, "sketches").map { df =>
+      df.agg(
+        hll_sketch_estimate(hll_union_agg(col("hll_key"))).as("distinct_keys"),
+        hll_sketch_estimate(hll_union_agg(col("hll_repo"))).as("distinct_repos"),
+        sum("rows").as("total_rows"))
+    }
+
+  /** Global content-length quantiles by merging committed t-digest bytes
+    * driver-side (rows are O(#batches) — tiny).
+    */
+  def globalLengthQuantiles(spark: SparkSession, io: TableIO,
+                            qs: Seq[Double] = Seq(0.5, 0.95, 0.99)): Option[Map[Double, Double]] =
+    io.readCommitted(spark, "sketches").map { df =>
+      val bytes = df.select("tdigest_len").collect().map(_.getAs[Array[Byte]](0))
+      val merged = bytes.reduce(Sketches.mergeBytes)
+      val dig = Sketches.heapify(merged)
+      qs.map(q => q -> dig.getQuantile(q)).toMap
+    }
+}

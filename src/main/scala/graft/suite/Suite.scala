@@ -84,7 +84,10 @@ object SuiteRunner {
       shaMismatch: Long,
       langCounts: Map[String, Long],
       lenCounts: Seq[(Long, Long)], // (length, count) sorted
-      fingerprint: String)
+      fingerprint: String,
+      hllKey: Array[Byte] = Array.empty,     // mergeable HLL of (repo,path,commit)
+      hllRepo: Array[Byte] = Array.empty,    // mergeable HLL of repo
+      tdigestLen: Array[Byte] = Array.empty) // mergeable t-digest of content length
 
   /** Exact two-sample KS from distinct-value count maps (driver-side; the
     * maps are groupBy(value).count results, already tiny).
@@ -141,7 +144,8 @@ object SuiteRunner {
         (col("path").isNull || col("path") === "").as("path_missing"),
         (col("lang").isNull || col("lang") === "").as("lang_missing"),
         (col("content").isNull || col("content") === "").as("content_missing"),
-        col("lang"),
+        col("lang"), col("repo"),
+        xxhash64(col("repo"), col("path"), col("commit")).as("keyhash"),
         xxhash64(col("repo"), col("path"), col("commit"), col("content")).as("rowhash"))
 
     // job 1: scalar aggregates per batch
@@ -154,7 +158,12 @@ object SuiteRunner {
       sum(when(col("content_missing"), 1L).otherwise(0L)).as("miss_content"),
       // order-independent batch fingerprint: decimal sum of row hashes
       // (decimal(38,0) cannot overflow under ANSI mode at any row count)
-      sum(col("rowhash").cast("decimal(38,0)")).as("fp")).collect()
+      sum(col("rowhash").cast("decimal(38,0)")).as("fp"),
+      // mergeable sketches ride the SAME scan (no extra content pass):
+      // HLL distinct + t-digest quantiles persisted per batch (north star)
+      hll_sketch_agg(col("keyhash")).as("hll_key"),
+      hll_sketch_agg(col("repo")).as("hll_repo"),
+      graft.stats.Sketches.tdigestAgg(col("len").cast("double")).as("tdigest_len")).collect()
       .map(r => r.getAs[Long]("batch_id") -> r).toMap
 
     // job 2: (lang, distinct-length) counts per batch in ONE scan — the
@@ -185,7 +194,9 @@ object SuiteRunner {
           langCounts.getOrElse(b, Map.empty),
           lenCounts.getOrElse(b, Seq.empty),
           Option(r.getAs[java.math.BigDecimal]("fp"))
-            .map(_.toBigInteger.toString(16)).getOrElse("0"))
+            .map(_.toBigInteger.toString(16)).getOrElse("0"),
+          r.getAs[Array[Byte]]("hll_key"), r.getAs[Array[Byte]]("hll_repo"),
+          r.getAs[Array[Byte]]("tdigest_len"))
       }
     }.toMap
   }
@@ -341,6 +352,19 @@ object SuiteRunner {
       out ++= withScore
     }
 
+    // per-batch MERGEABLE sketches (north star: HLL distinct + t-digest
+    // quantiles persisted to the audit table so later/resumed runs answer
+    // whole-table questions by merging committed bytes, never re-scanning).
+    // The bytes were aggregated in the artifacts scan — zero extra jobs here
+    // beyond the tiny write.
+    val sketchRows = pending.map { b =>
+      val a = arts(b)
+      (b, a.rows, a.hllKey, a.hllRepo, a.tdigestLen)
+    }
+    io.writeAllPartitions(
+      sketchRows.toDF("batch_id", "rows", "hll_key", "hll_repo", "tdigest_len"),
+      "sketches")
+
     // single partitioned writes for verdicts + lineage, then per-batch
     // manifest commits IN ORDER (verdicts last per batch = the atomic commit
     // point; a kill before a batch's commit leaves it pending and re-run)
@@ -354,6 +378,7 @@ object SuiteRunner {
     pending.foreach { b =>
       val a = arts(b)
       allViolations.foreach { case (name, _) => io.commit(s"violations_$name", b, s"""{"batch_id":$b}""") }
+      io.commit("sketches", b, s"""{"batch_id":$b}""")
       io.commit("lineage", b, s"""{"batch_id":$b}""")
       io.commit("verdicts", b,
         s"""{"batch_id":$b,"rows":${a.rows},"fingerprint":"${a.fingerprint}","suite":"$SuiteVersion"}""")

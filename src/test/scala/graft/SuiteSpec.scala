@@ -86,6 +86,24 @@ class SuiteSpec extends GraftSpec {
     } finally { rmdir(rootA); rmdir(rootB) }
   }
 
+  test("committed sketches merge to whole-table answers without re-scanning") {
+    val root = tempDir()
+    try {
+      val io = new ParquetTableIO(root)
+      SuiteRunner.run(spark, code, dim, io)
+      val g = graft.audit.AuditQueries.globalDistinct(spark, io).get.collect()(0)
+      val exactKeys = code.select("repo", "path", "commit").distinct().count()
+      val approxKeys = g.getAs[Long]("distinct_keys").toDouble
+      assert(math.abs(approxKeys - exactKeys) / exactKeys < 0.05,
+        s"hll $approxKeys vs exact $exactKeys")
+      assert(g.getAs[Long]("total_rows") == 20000L)
+      val qs = graft.audit.AuditQueries.globalLengthQuantiles(spark, io).get
+      val exactMedian = code.select(median(length(col("content")))).collect()(0).getDouble(0)
+      assert(math.abs(qs(0.5) - exactMedian) / exactMedian < 0.1,
+        s"t-digest p50 ${qs(0.5)} vs exact $exactMedian")
+    } finally rmdir(root)
+  }
+
   test("salted per-repo counts equal plain groupBy counts (exactness under skew)") {
     val plain = code.groupBy("repo").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
