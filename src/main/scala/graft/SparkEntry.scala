@@ -151,6 +151,23 @@ object SparkEntry {
         .orderBy("event_type", "win")
     }),
 
+    // W1: true count-based SLIDING frame rowsBetween(-49, 0) — running
+    // unusual ratio over the last 50 events per key (sensor window before
+    // the reset decision); emitted at every 100th event to keep output small
+    "q_sliding_window_ratio" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      e.withColumn("rn", row_number().over(w))
+        .withColumn("win_n", count(lit(1)).over(w.rowsBetween(-49, 0)))
+        .withColumn("unusual_50",
+          sum(when(col("value") > 150, 1L).otherwise(0L)).over(w.rowsBetween(-49, 0)))
+        .where(col("win_n") === 50 && col("rn") % 100 === 0)
+        .select(col("event_type"), col("rn"),
+          r(col("unusual_50") / 50.0, 4).as("ratio"),
+          (col("unusual_50") / 50.0 > 0.10).as("drift"))
+        .orderBy("event_type", "rn")
+    }),
+
     // W2/A7: 5-minute tumbling window (count, sum) per key
     "q_time_window_agg" -> ((s, dir) => {
       Tables.events(s, dir).where(col("event_type") === "click")
@@ -505,6 +522,21 @@ object SparkEntry {
                 round(unusual / 50.0, 4) AS ratio,
                 (unusual / 50.0) > 0.10 AS drift
          FROM wins WHERE n = 50 ORDER BY event_type, win""",
+
+    "q_sliding_window_ratio" ->
+      """WITH numbered AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS win_n,
+                  sum(CASE WHEN value > 150 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS unusual_50
+           FROM events)
+         SELECT event_type, rn, round(unusual_50 / 50.0, 4) AS ratio,
+                (unusual_50 / 50.0) > 0.10 AS drift
+         FROM numbered WHERE win_n = 50 AND rn % 100 = 0
+         ORDER BY event_type, rn""",
 
     "q_time_window_agg" ->
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,

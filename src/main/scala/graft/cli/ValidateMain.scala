@@ -53,6 +53,13 @@ object ValidateMain {
       }
       val failed = verdicts.filterNot(_.passed)
       println(s"[graft] ${verdicts.size} checks, ${failed.size} failed; audit at $auditDir")
+      // threshold alert rules over this run's verdicts (DESIGN.md:689-747)
+      import spark.implicits._
+      val alerts = graft.suite.Alerts.evaluate(verdicts.toDF()).collect()
+      alerts.foreach { a =>
+        println(s"[graft][ALERT][${a.getAs[String]("severity")}] batch=${a.getAs[Long]("batch_id")} " +
+          s"${a.getAs[String]("check")}(${a.getAs[String]("column")}): ${a.getAs[String]("message")}")
+      }
     }
     spark.stop()
     if (verdicts.exists(v => !v.passed)) sys.exit(2)

@@ -352,6 +352,23 @@ object SuiteRunner {
       out ++= withScore
     }
 
+    // per-(batch, repo) file counts through the EXPLICIT salted two-level
+    // aggregation (north rule: "repartition-by-repo-hash plus salting for
+    // skewed mega-repos" — the generated corpus has one repo holding ~30%
+    // of rows; a plain groupBy(repo) would hot-spot one reducer). Counts
+    // are mergeable, so the two-level result is exact. Top repos per batch
+    // land in the audit as capacity/skew telemetry.
+    val repoMetrics = pendingCode
+      .groupBy(col("batch_id"), col("repo"),
+        pmod(xxhash64(col("path"), col("commit")), lit(SaltBuckets)).as("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col("batch_id"), col("repo"))
+      .agg(sum("_partial").as("file_count"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("batch_id"))
+        .orderBy(col("file_count").desc, col("repo"))))
+      .where(col("rn") <= ViolationCap).withColumnRenamed("rn", "rank")
+    io.writeAllPartitions(repoMetrics, "repo_metrics")
+
     // per-batch MERGEABLE sketches (north star: HLL distinct + t-digest
     // quantiles persisted to the audit table so later/resumed runs answer
     // whole-table questions by merging committed bytes, never re-scanning).
@@ -379,6 +396,7 @@ object SuiteRunner {
       val a = arts(b)
       allViolations.foreach { case (name, _) => io.commit(s"violations_$name", b, s"""{"batch_id":$b}""") }
       io.commit("sketches", b, s"""{"batch_id":$b}""")
+      io.commit("repo_metrics", b, s"""{"batch_id":$b}""")
       io.commit("lineage", b, s"""{"batch_id":$b}""")
       io.commit("verdicts", b,
         s"""{"batch_id":$b,"rows":${a.rows},"fingerprint":"${a.fingerprint}","suite":"$SuiteVersion"}""")

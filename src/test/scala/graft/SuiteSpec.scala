@@ -104,6 +104,21 @@ class SuiteSpec extends GraftSpec {
     } finally rmdir(root)
   }
 
+  test("suite's salted repo_metrics equal plain groupBy counts and rank the mega-repo first") {
+    val root = tempDir()
+    try {
+      val io = new ParquetTableIO(root)
+      SuiteRunner.run(spark, code, dim, io)
+      val rm = io.readCommitted(spark, "repo_metrics").get
+      val top = rm.where(col("rank") === 1).select("repo").distinct().collect()
+      assert(top.forall(_.getString(0) == "repo_0000"), "mega-repo must rank first per batch")
+      val plain = code.groupBy("batch_id", "repo").count()
+      val joined = rm.join(plain, Seq("batch_id", "repo"))
+        .where(col("file_count") =!= col("count")).count()
+      assert(joined == 0, "salted two-level counts must be exact")
+    } finally rmdir(root)
+  }
+
   test("salted per-repo counts equal plain groupBy counts (exactness under skew)") {
     val plain = code.groupBy("repo").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
