@@ -24,7 +24,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val suiteRows = sys.env.getOrElse("SPARK_GRAFT_SUITE_ROWS", "2000000").toLong
+    val suiteRows = sys.env.getOrElse("SPARK_GRAFT_SUITE_ROWS", "8000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
