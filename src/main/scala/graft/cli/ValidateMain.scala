@@ -15,6 +15,9 @@ import org.apache.spark.sql.SparkSession
   */
 object ValidateMain {
   def main(args: Array[String]): Unit = {
+    // CLI table output uses f"" interpolation — pin the locale so decimal
+    // separators are dots regardless of the host JVM locale
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val auditDir = args.headOption.getOrElse(sys.error("usage: ValidateMain <auditDir> [--rows N] [--batches B] [--input path]"))
     def opt(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`name`, v) => v }

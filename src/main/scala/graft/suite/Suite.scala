@@ -47,6 +47,14 @@ object SuiteConfig {
   val Bins = 10
   val ViolationCap = 100
   val SaltBuckets = 16
+  /** Exact-KS routing cap: per-batch distinct content-length cardinality
+    * (approx, from the job-1 HLL) above which the driver-side length-count
+    * collect is SKIPPED and the KS/PSI(length) verdicts are computed from
+    * the mergeable t-digest bytes instead. Below the cap the collect is
+    * ≤ ~1.6 MB per batch (cap × 16 bytes); above it, real code corpora can
+    * reach 10^6+ distinct lengths × langs × batches — a driver OOM.
+    */
+  val LenCardCap = 100000L
 }
 
 /** Batch-parallel validation suite over the code table
@@ -55,16 +63,19 @@ object SuiteConfig {
   * Scale design: ALL pending batches are validated in a CONSTANT number of
   * full-table jobs (≈6 scans/shuffles total), not O(#batches) loops:
   *   1. one-pass scalar aggregates per batch (counts, length moments,
-  *      missing counts, sha mismatches) — single HashAggregate, map-side
-  *      partial; `content` is read once, reduced to (length, sha-ok) in the
-  *      same projection (SURVEY.md §7.5 risk 4);
-  *   2. groupBy(batch, lang) counts          → chi-square / PSI(lang);
-  *   3. groupBy(batch, length-bin) counts    → PSI(length);
-  *   4. groupBy(batch, length) counts        → EXACT KS vs baseline
-  *      (collapsing to distinct values first makes exact KS scale-free for
-  *      discrete-ish columns; the t-digest path covers continuous ones);
-  *   5. duplicate-key detection (one shuffle on the key);
-  *   6. referential anti-join against the broadcast dimension.
+  *      missing counts, sha-mismatch counts + capped sha samples, HLL and
+  *      t-digest sketch bytes) — single ObjectHashAggregate, map-side
+  *      partial. `content` is read from storage exactly once here: the slim
+  *      projection it reduces to is cached and reused by job 2, and the
+  *      sha256 check rides the same projection (SURVEY.md §7.5 risk 4);
+  *   2. groupBy(batch, lang, length) counts over the cached projection —
+  *      lang marginals → chi-square / PSI(lang); length marginals → exact
+  *      KS + PSI(length), collected ONLY while the distinct-length
+  *      cardinality stays under [[SuiteConfig.LenCardCap]]; above the cap
+  *      the KS/PSI(length) verdicts come from the job-1 t-digest bytes
+  *      (mergeable, scale-free) and no per-length rows reach the driver;
+  *   3. duplicate-key detection (one shuffle on a 64-bit key hash);
+  *   4. referential anti-join against the broadcast dimension.
   * Verdict assembly is driver-side arithmetic over the tiny collected
   * aggregates. Violations are written capped + deterministic (O5).
   *
@@ -83,11 +94,15 @@ object SuiteRunner {
       missingPath: Long, missingLang: Long, missingContent: Long,
       shaMismatch: Long,
       langCounts: Map[String, Long],
-      lenCounts: Seq[(Long, Long)], // (length, count) sorted
+      lenCounts: Seq[(Long, Long)], // (length, count) sorted; EMPTY when the
+                                    // distinct-length cardinality exceeded
+                                    // LenCardCap (sketched drift path)
       fingerprint: String,
       hllKey: Array[Byte] = Array.empty,     // mergeable HLL of (repo,path,commit)
       hllRepo: Array[Byte] = Array.empty,    // mergeable HLL of repo
-      tdigestLen: Array[Byte] = Array.empty) // mergeable t-digest of content length
+      tdigestLen: Array[Byte] = Array.empty, // mergeable t-digest of content length
+      shaSamples: Seq[String] = Seq.empty,   // capped \u0000-joined key triples
+      lenCardApprox: Long = 0L)              // approx distinct lengths (routing)
 
   /** Exact two-sample KS from distinct-value count maps (driver-side; the
     * maps are groupBy(value).count results, already tiny).
@@ -134,8 +149,17 @@ object SuiteRunner {
   /** Collect all per-batch artifacts for `batches` in the constant number of
     * jobs described above. `code` must already be filtered to those batches
     * (partition pruning keeps unread batches off disk).
+    *
+    * `content` is read from storage exactly ONCE: the slim projection
+    * (length, missing flags, sha-mismatch flag, key/row hashes) is cached,
+    * so job 1 (scalars + sketches + capped sha samples) and job 2
+    * (lang × length counts) share one materialization of the expensive
+    * column. The sha256 invariant check and its capped deterministic sample
+    * ride job 1 via [[graft.stats.MinK.minKStrings]] (bounded O(cap) state,
+    * mergeable) — no second content scan ever happens.
     */
-  def collectArtifacts(code: DataFrame, batches: Seq[Long]): Map[Long, BatchArtifacts] = {
+  def collectArtifacts(code: DataFrame, batches: Seq[Long],
+                       lenCardCap: Long = LenCardCap): Map[Long, BatchArtifacts] = {
     // content reduced ONCE to its cheap derivatives; content itself never shuffles
     val slim = code
       .where(col("batch_id").isin(batches: _*))
@@ -144,9 +168,13 @@ object SuiteRunner {
         (col("path").isNull || col("path") === "").as("path_missing"),
         (col("lang").isNull || col("lang") === "").as("lang_missing"),
         (col("content").isNull || col("content") === "").as("content_missing"),
+        (sha2(col("content"), 256) =!= col("expected_sha256")).as("sha_mismatch"),
         col("lang"), col("repo"),
+        concat_ws("\u0000", coalesce(col("repo"), lit("")),
+          coalesce(col("path"), lit("")), coalesce(col("commit"), lit(""))).as("key3"),
         xxhash64(col("repo"), col("path"), col("commit")).as("keyhash"),
         xxhash64(col("repo"), col("path"), col("commit"), col("content")).as("rowhash"))
+      .persist()
 
     // job 1: scalar aggregates per batch
     val scalars = slim.groupBy("batch_id").agg(
@@ -156,6 +184,12 @@ object SuiteRunner {
       sum(when(col("path_missing"), 1L).otherwise(0L)).as("miss_path"),
       sum(when(col("lang_missing"), 1L).otherwise(0L)).as("miss_lang"),
       sum(when(col("content_missing"), 1L).otherwise(0L)).as("miss_content"),
+      sum(when(col("sha_mismatch"), 1L).otherwise(0L)).as("sha_mismatch"),
+      // capped deterministic sha-violation sample, one pass, bounded state
+      graft.stats.MinK.minKStrings(
+        when(col("sha_mismatch"), col("key3")), ViolationCap).as("sha_samples"),
+      // routing cardinality for the exact-vs-sketched KS decision
+      approx_count_distinct(col("len")).as("len_card"),
       // order-independent batch fingerprint: decimal sum of row hashes
       // (decimal(38,0) cannot overflow under ANSI mode at any row count)
       sum(col("rowhash").cast("decimal(38,0)")).as("fp"),
@@ -166,21 +200,34 @@ object SuiteRunner {
       graft.stats.Sketches.tdigestAgg(col("len").cast("double")).as("tdigest_len")).collect()
       .map(r => r.getAs[Long]("batch_id") -> r).toMap
 
-    // job 2: (lang, distinct-length) counts per batch in ONE scan — the
-    // cross-cardinality is |langs| × |distinct lengths| (tiny); lang
-    // marginals feed chi-square/PSI(lang), length marginals feed exact KS
-    // and PSI(length)
-    val cross = slim.groupBy("batch_id", "lang", "len").count().collect()
-    val byBatch = cross.groupBy(_.getAs[Long]("batch_id"))
-    val langCounts = byBatch.map { case (b, rows) =>
-      b -> rows.groupBy(r => Option(r.getAs[String]("lang")).getOrElse(""))
-        .map { case (l, rs) => l -> rs.map(_.getAs[Long]("count")).sum }
-    }
-    val lenCounts = byBatch.map { case (b, rows) =>
-      b -> rows.groupBy(_.getAs[Long]("len"))
-        .map { case (l, rs) => l -> rs.map(_.getAs[Long]("count")).sum }
-        .toSeq.sortBy(_._1)
-    }
+    // job 2: (lang, distinct-length) counts per batch in ONE pass over the
+    // CACHED slim projection. Lang marginals (always tiny — |langs| bounded)
+    // feed chi-square/PSI(lang). Length marginals feed exact KS and
+    // PSI(length) — but ONLY below the cardinality cap: the full
+    // (batch × lang × length) cross collect is unbounded on arbitrary
+    // inputs (10^6+ distinct lengths on real code), so above the cap the
+    // driver never sees per-length counts and the drift verdicts fall back
+    // to the t-digest bytes already aggregated in job 1.
+    val cross = slim.groupBy("batch_id", "lang", "len").count().persist()
+    val langCounts = cross.groupBy("batch_id", "lang")
+      .agg(sum("count").as("count")).collect()
+      .groupBy(_.getAs[Long]("batch_id"))
+      .map { case (b, rows) =>
+        b -> rows.map(r => Option(r.getAs[String]("lang")).getOrElse("") ->
+          r.getAs[Long]("count")).toMap
+      }
+    val maxLenCard = scalars.valuesIterator
+      .map(_.getAs[Long]("len_card")).maxOption.getOrElse(0L)
+    val lenCounts: Map[Long, Seq[(Long, Long)]] =
+      if (maxLenCard > lenCardCap) Map.empty
+      else cross.groupBy("batch_id", "len").agg(sum("count").as("count")).collect()
+        .groupBy(_.getAs[Long]("batch_id"))
+        .map { case (b, rows) =>
+          b -> rows.map(r => r.getAs[Long]("len") -> r.getAs[Long]("count"))
+            .toSeq.sortBy(_._1)
+        }
+    cross.unpersist()
+    slim.unpersist()
 
     batches.flatMap { b =>
       scalars.get(b).map { r =>
@@ -190,15 +237,34 @@ object SuiteRunner {
           Option(r.getAs[Any]("len_mean")).map(_.asInstanceOf[Number].doubleValue).getOrElse(Double.NaN),
           Option(r.getAs[Any]("len_std")).map(_.asInstanceOf[Number].doubleValue).getOrElse(Double.NaN),
           r.getAs[Long]("miss_path"), r.getAs[Long]("miss_lang"), r.getAs[Long]("miss_content"),
-          0L, // shaMismatch filled by run() from the dedicated sha pass
+          r.getAs[Long]("sha_mismatch"),
           langCounts.getOrElse(b, Map.empty),
           lenCounts.getOrElse(b, Seq.empty),
           Option(r.getAs[java.math.BigDecimal]("fp"))
             .map(_.toBigInteger.toString(16)).getOrElse("0"),
           r.getAs[Array[Byte]]("hll_key"), r.getAs[Array[Byte]]("hll_repo"),
-          r.getAs[Array[Byte]]("tdigest_len"))
+          r.getAs[Array[Byte]]("tdigest_len"),
+          r.getAs[scala.collection.Seq[String]]("sha_samples").toSeq,
+          r.getAs[Long]("len_card"))
       }
     }.toMap
+  }
+
+  /** Length histogram proportions from a t-digest sketch over the same
+    * baseline-pinned equi-width bins as [[histProportions]]: bin mass =
+    * rank(right edge) − rank(left edge), with the edge bins absorbing the
+    * out-of-range tails (matching the exact path's clamping).
+    */
+  private def histProportionsFromDigest(bytes: Array[Byte], lo: Double, hi: Double): Seq[Double] = {
+    val dig = graft.stats.Sketches.heapify(bytes)
+    if (dig.isEmpty || hi <= lo) return Seq.fill(Bins)(0.0)
+    val edges = (0 to Bins).map(i => lo + (hi - lo) * i / Bins)
+    val ranks = edges.map(dig.getRank)
+    (0 until Bins).map { i =>
+      val left = if (i == 0) 0.0 else ranks(i)
+      val right = if (i == Bins - 1) 1.0 else ranks(i + 1)
+      math.max(0.0, right - left)
+    }
   }
 
   /** Length histogram proportions over `bins` equi-width bins pinned to the
@@ -221,7 +287,8 @@ object SuiteRunner {
     * Returns the verdicts written this run.
     */
   def run(spark: SparkSession, codeRaw: DataFrame, repoLangDim: DataFrame,
-          io: TableIO, baselineBatch: Long = 0L): Seq[Verdict] = {
+          io: TableIO, baselineBatch: Long = 0L,
+          lenCardCap: Long = LenCardCap): Seq[Verdict] = {
     import spark.implicits._
     // normalize batch_id: a disk layout partitioned by batch_id reads the
     // partition column back as int — the engine contract is bigint
@@ -234,8 +301,11 @@ object SuiteRunner {
     // baseline artifacts: computed once (first scan establishes reference
     // distributions — reference T7 semantics, DESIGN.md:536-537)
     val needed = (pending :+ baselineBatch).distinct
-    val arts = collectArtifacts(code, needed)
-    val base = arts(baselineBatch)
+    val arts = collectArtifacts(code, needed, lenCardCap)
+    val base = arts.getOrElse(baselineBatch, throw new IllegalArgumentException(
+      s"baseline batch $baselineBatch has no rows in the input (batches present: " +
+        s"${allBatches.mkString(", ")}); include the baseline partition in the input " +
+        "or pass baselineBatch pointing at an existing batch"))
     val basePropLen = histProportions(base.lenCounts, base.lenMin, base.lenMax)
 
     // shared violation jobs, batch-attributed, capped deterministically
@@ -278,15 +348,16 @@ object SuiteRunner {
         .orderBy(col("repo"), col("lang"))))
       .where(col("rn") <= ViolationCap).drop("rn")
 
-    // ONE sha256 pass over content: materialize the (tiny) mismatch set,
-    // then derive both the per-batch counts and the capped sample from it
-    val shaViolAll = pendingCode
-      .where(sha2(col("content"), 256) =!= col("expected_sha256"))
-      .select("batch_id", "repo", "path", "commit").persist()
-    val shaCounts = shaViolAll.groupBy("batch_id").count().collect()
-      .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("count")).toMap
-    val shaViol = shaViolAll
-      .withColumn("rn", row_number().over(keyW)).where(col("rn") <= ViolationCap).drop("rn")
+    // sha256 counts AND the capped deterministic sample both came out of the
+    // job-1 artifacts scan (MinK aggregate) — no second content pass; the
+    // sample table is assembled driver-side from ≤ ViolationCap keys/batch
+    val shaViol = pending.flatMap { b =>
+      arts(b).shaSamples.map { s =>
+        val parts = s.split("\u0000", -1)
+        (b, parts.lift(0).getOrElse(""), parts.lift(1).getOrElse(""),
+          parts.lift(2).getOrElse(""))
+      }
+    }.toDF("batch_id", "repo", "path", "commit")
 
     val emptyPathViol = pendingCode
       .where(col("path").isNull || col("path") === "")
@@ -306,17 +377,30 @@ object SuiteRunner {
     allViolations.foreach { case (name, df) =>
       io.writeAllPartitions(df, s"violations_$name")
     }
-    shaViolAll.unpersist()
     dupViol.unpersist()
     refViol.unpersist()
 
     // per-batch verdict assembly (driver-side arithmetic on tiny aggregates)
     val out = scala.collection.mutable.ArrayBuffer.empty[Verdict]
     pending.foreach { b =>
-      val a0 = arts(b)
-      val a = a0.copy(shaMismatch = shaCounts.getOrElse(b, 0L))
-      val (ksD, ksP) = ksFromCounts(base.lenCounts, a.lenCounts)
-      val psiLen = DriftMath.psi(basePropLen, histProportions(a.lenCounts, base.lenMin, base.lenMax))
+      val a = arts(b)
+      // exact per-length counts below the cardinality cap; t-digest sketch
+      // path above it (no per-length rows ever reached the driver)
+      val exactLen = base.lenCounts.nonEmpty && a.lenCounts.nonEmpty
+      val (ksD, ksP) =
+        if (exactLen) ksFromCounts(base.lenCounts, a.lenCounts)
+        else {
+          val r = graft.drift.KsTest.ksStatisticSketched(
+            graft.stats.Sketches.heapify(base.tdigestLen),
+            graft.stats.Sketches.heapify(a.tdigestLen))
+          (r.statistic, r.pValue)
+        }
+      val psiLen =
+        if (exactLen)
+          DriftMath.psi(basePropLen, histProportions(a.lenCounts, base.lenMin, base.lenMax))
+        else DriftMath.psi(
+          histProportionsFromDigest(base.tdigestLen, base.lenMin, base.lenMax),
+          histProportionsFromDigest(a.tdigestLen, base.lenMin, base.lenMax))
       val psiLang = psiFromCounts(base.langCounts, a.langCounts)
       val (chiStat, chiP, cramersV) = chiSqFromCounts(base.langCounts, a.langCounts)
       val meanShift = if (base.lenStd.isNaN || base.lenStd == 0) 0.0

@@ -119,6 +119,64 @@ class SuiteSpec extends GraftSpec {
     } finally rmdir(root)
   }
 
+  test("above the length-cardinality cap: no per-length driver collect; sketched KS/PSI verdicts agree") {
+    val root = tempDir()
+    try {
+      val io = new ParquetTableIO(root)
+      // cap=4 forces the sketched path (the corpus has thousands of distinct lengths)
+      val verdicts = SuiteRunner.run(spark, code, dim, io, lenCardCap = 4)
+      def v(b: Long, check: String, colName: String): Verdict =
+        verdicts.find(x => x.batch_id == b && x.check == check && x.column == colName).get
+      // the routing decision drops the length counts entirely
+      val arts = SuiteRunner.collectArtifacts(
+        code.withColumn("batch_id", col("batch_id").cast("bigint")),
+        Seq(0L, 1L, 2L, 3L), lenCardCap = 4)
+      assert(arts.values.forall(_.lenCounts.isEmpty),
+        "per-length counts must never be collected above the cap")
+      assert(arts.values.forall(_.lenCardApprox > 4))
+      // same verdict rows, same drift conclusions as the exact path
+      assert(v(1, "drift_ks", "content_length").passed, "undrifted batch must pass sketched KS")
+      assert(v(2, "drift_ks", "content_length").passed)
+      assert(!v(3, "drift_ks", "content_length").passed, "drifted batch must fire sketched KS")
+      assert(v(1, "drift_psi", "content_length").passed)
+      assert(!v(3, "drift_chisq", "lang").passed)
+      // identical verdict-table shape either way
+      val exact = {
+        val r2 = tempDir()
+        try SuiteRunner.run(spark, code, dim, new ParquetTableIO(r2))
+        finally rmdir(r2)
+      }
+      assert(verdicts.map(x => (x.batch_id, x.check, x.column)).sorted ==
+        exact.map(x => (x.batch_id, x.check, x.column)).sorted)
+    } finally rmdir(root)
+  }
+
+  test("missing baseline batch fails fast with a clear message") {
+    val root = tempDir()
+    try {
+      val io = new ParquetTableIO(root)
+      val noBase = code.where(col("batch_id") =!= 0)
+      val e = intercept[IllegalArgumentException] {
+        SuiteRunner.run(spark, noBase, dim, io)
+      }
+      assert(e.getMessage.contains("baseline batch 0"), e.getMessage)
+    } finally rmdir(root)
+  }
+
+  test("one-pass sha sample equals the two-phase ORDER BY ... LIMIT cap sample") {
+    val arts = SuiteRunner.collectArtifacts(
+      code.withColumn("batch_id", col("batch_id").cast("bigint")), Seq(0L))
+    val got = arts(0L).shaSamples.map(_.split("\u0000", -1).toSeq)
+    val expected = code
+      .where(col("batch_id") === 0 && sha2(col("content"), 256) =!= col("expected_sha256"))
+      .select("repo", "path", "commit").distinct()
+      .orderBy("repo", "path", "commit")
+      .limit(graft.suite.SuiteConfig.ViolationCap)
+      .collect().map(r => Seq(r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == expected)
+    assert(arts(0L).shaMismatch > 0)
+  }
+
   test("salted per-repo counts equal plain groupBy counts (exactness under skew)") {
     val plain = code.groupBy("repo").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
