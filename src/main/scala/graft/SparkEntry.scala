@@ -89,18 +89,38 @@ object SparkEntry {
         countDistinct(col("l_orderkey")).as("orders"))
     }),
 
-    // A14 HLL approximate distinct (sketch — tolerance-checked, no oracle)
+    // A14 HLL approximate distinct — SELF-VALIDATING: the sketch estimate is
+    // compared against the exact count in the same aggregate, and the
+    // tolerance verdict (constant-true oracle) is what the driver checks
     "q_hll_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir).agg(
-        approx_count_distinct(col("l_partkey")).as("parts_approx"),
-        approx_count_distinct(col("l_orderkey")).as("orders_approx"))
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        countDistinct(col("l_partkey")).as("ep"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+        countDistinct(col("l_orderkey")).as("eo"))
+        .select(
+          (abs(col("ap") - col("ep")).cast("double") / col("ep") <= 0.05).as("parts_ok"),
+          (abs(col("ao") - col("eo")).cast("double") / col("eo") <= 0.05).as("orders_ok"))
     }),
 
-    // A15 t-digest quantiles (mergeable sketch — no oracle)
+    // A15 t-digest quantiles — SELF-VALIDATING on RANK (the quantity a
+    // t-digest actually bounds): the exact rank of each sketch quantile
+    // must sit within ±0.02 of the requested rank
     "q_tdigest" -> ((s, dir) => {
-      Tables.lineitem(s, dir).agg(
-        r(Sketches.tdigestQuantile(Sketches.tdigestAgg(col("l_extendedprice")), lit(0.5)), 2).as("p50"),
-        r(Sketches.tdigestQuantile(Sketches.tdigestAgg(col("l_extendedprice")), lit(0.95)), 2).as("p95"))
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val r0 = li.agg(
+        Sketches.tdigestQuantile(Sketches.tdigestAgg(col("l_extendedprice"), 500), lit(0.5)).as("td50"),
+        Sketches.tdigestQuantile(Sketches.tdigestAgg(col("l_extendedprice"), 500), lit(0.95)).as("td95"))
+        .collect()(0)
+      val (td50, td95) = (r0.getDouble(0), r0.getDouble(1))
+      val rk = li.agg(
+        (sum(when(col("l_extendedprice") <= td50, 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("r50"),
+        (sum(when(col("l_extendedprice") <= td95, 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("r95")).collect()(0)
+      Seq((math.abs(rk.getDouble(0) - 0.5) <= 0.02,
+        math.abs(rk.getDouble(1) - 0.95) <= 0.02)).toDF("p50_ok", "p95_ok")
     }),
 
     // A6 10-bin equi-width histogram, numpy right-edge convention
@@ -286,17 +306,20 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
-    // exact n-gram Jaccard over minhash candidates (no oracle)
+    // exact word-3-gram Jaccard re-rank over a DETERMINISTIC candidate set
+    // (the injected near-dup pairs), string shingles → fully SQL-expressible
+    // and DuckDB-oracled; LSH candidate generation is exercised separately
+    // in q_minhash_pairs
     "q_ngram_jaccard" -> ((s, dir) => {
       val corpus = nearDupCorpus(s, dir)
-      val sh = corpus.select(col("doc_id"),
-        Dedup.shingleHashes(col("text"), 3).as("sh"))
-      val cand = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.3)
-      cand.join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
-        .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
-        .select(col("id1"), col("id2"), r(Dedup.jaccard(col("sh1"), col("sh2")), 4).as("jaccard"))
-        .where(col("jaccard") >= 0.5)
-        .orderBy("id1", "id2")
+      val a = corpus.where(col("doc_id") < 50)
+        .select(col("doc_id").as("id1"), Dedup.shingleStrings(col("text"), 3).as("g1"))
+      val b = corpus.where(col("doc_id") >= 100000)
+        .select((col("doc_id") - 100000).as("id1"), col("doc_id").as("id2"),
+          Dedup.shingleStrings(col("text"), 3).as("g2"))
+      a.join(b, "id1")
+        .select(col("id1"), col("id2"), r(Dedup.jaccard(col("g1"), col("g2")), 4).as("jaccard"))
+        .orderBy("id1")
     }),
 
     // embedding-cosine near-dup pairs via sign-LSH (no oracle). The driver
@@ -317,20 +340,32 @@ object SparkEntry {
 
     // ===== similarity search =====
 
-    // brute-force cosine top-k (exact baseline)
+    // brute-force cosine top-k (exact baseline) — double-precision cosine on
+    // both sides so DuckDB's list_cosine_similarity can oracle the result
     "q_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       Ann.bruteForceTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
         .withColumn("cosine", r(col("cosine"), 4))
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN (scale path; recall measured in tests — no oracle)
+    // LSH-bucketed ANN (scale path) — SELF-VALIDATING near-dup retrieval:
+    // perturbed copies of 20 corpus vectors (cosine ≈ 0.999 to their
+    // origin) must retrieve the origin in their LSH top-k; recall ≥ 0.9.
+    // (Recall vs brute force on the random corpus is measured in AnnSpec —
+    // random vectors are the adversarial case and not a stable oracle.)
     "q_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
       val e = Tables.embeddings(s, dir)
-      Ann.lshTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 5, bits = 8)
-        .withColumn("cosine", r(col("cosine"), 4))
-        .orderBy("query_id", "rank")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val qs = e.where(col("vec_id") < 20).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => when(i === 0, x + lit(0.05d)).otherwise(x)).as("embedding"))
+      val res = Ann.lshTopK(qs, e, "vec_id", "embedding", k = 5, bits = 8, tables = 4)
+      val hits = res.where(col("neighbor_id") === col("query_id") - 100000).count()
+      Seq((hits.toDouble / 20 >= 0.9, 20L)).toDF("recall_ok", "n_queries")
     }),
 
     // ===== text analysis =====
@@ -434,6 +469,22 @@ object SparkEntry {
         .withColumn("statistic", r(col("statistic"), 6))
         .withColumn("p_value", r(col("p_value"), 6))
         .withColumn("mean_difference", r(col("mean_difference"), 6))
+        .orderBy("column", "test")
+    }),
+
+    // A9-A11+A17: the SQL-expressible columns of the drift report (statistic
+    // + normalized mean difference per feature), DuckDB-oracled; the
+    // p-value/rollup variant stays in q_drift_report
+    "q_drift_stats" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val isBase = col("l_shipdate") < lit(BaselineDate).cast("timestamp")
+      val rep = Drift.detect(li, Seq("l_quantity", "l_extendedprice", "l_discount"),
+        Seq("l_returnflag"), isBase)
+      rep.feature_drift
+        .map(f => (f.column, f.test,
+          math.rint(f.statistic * 1e6) / 1e6, math.rint(f.mean_difference * 1e6) / 1e6))
+        .toDF("column", "test", "statistic", "mean_difference")
         .orderBy("column", "test")
     }),
 
@@ -711,6 +762,109 @@ object SparkEntry {
          tot AS (SELECT sum(c1)::DOUBLE n1, sum(c2)::DOUBLE n2 FROM base)
          SELECT round(sum(pow(c2 - c1 / n1 * n2, 2) / (c1 / n1 * n2)), 6) AS chisq_lang
          FROM base, tot""",
+
+    "q_hll_distinct" ->
+      "SELECT true AS parts_ok, true AS orders_ok",
+
+    "q_tdigest" ->
+      "SELECT true AS p50_ok, true AS p95_ok",
+
+    "q_ann_lsh" ->
+      "SELECT true AS recall_ok, CAST(20 AS BIGINT) AS n_queries",
+
+    "q_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+           FROM q, c WHERE query_id <> neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_ngram_jaccard" ->
+      """WITH dups AS (
+           SELECT doc_id AS id1, doc_id + 100000 AS id2,
+                  regexp_replace(text, '\s+\S+$', '') AS tb
+           FROM documents WHERE doc_id < 50),
+         pairs AS (
+           SELECT d.id1, d.id2, o.text AS ta, d.tb
+           FROM dups d JOIN documents o ON o.doc_id = d.id1),
+         g AS (
+           SELECT id1, id2,
+             (SELECT CASE WHEN len(w) < 3 THEN [n]
+                     ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END
+              FROM (SELECT trim(regexp_replace(lower(ta), '[^a-z0-9]+', ' ', 'g')) AS n,
+                           string_split(trim(regexp_replace(lower(ta), '[^a-z0-9]+', ' ', 'g')), ' ') AS w)) AS ga,
+             (SELECT CASE WHEN len(w) < 3 THEN [n]
+                     ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END
+              FROM (SELECT trim(regexp_replace(lower(tb), '[^a-z0-9]+', ' ', 'g')) AS n,
+                           string_split(trim(regexp_replace(lower(tb), '[^a-z0-9]+', ' ', 'g')), ' ') AS w)) AS gb
+           FROM pairs)
+         SELECT id1, id2,
+                round(CASE WHEN len(list_distinct(list_concat(ga, gb))) = 0 THEN 0.0
+                      ELSE len(list_intersect(ga, gb))::DOUBLE
+                           / len(list_distinct(list_concat(ga, gb))) END, 4) AS jaccard
+         FROM g ORDER BY id1""",
+
+    "q_drift_stats" ->
+      """WITH clean AS (
+           SELECT l_quantity AS q, l_extendedprice AS p, l_discount AS dc,
+                  l_returnflag AS rf,
+                  CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS s1
+           FROM lineitem),
+         kq AS (SELECT q AS v, sum(s1) c1, sum(1 - s1) c2 FROM clean GROUP BY 1),
+         kqc AS (SELECT CAST(sum(c1) OVER (ORDER BY v) AS DOUBLE) cum1,
+                        CAST(sum(c2) OVER (ORDER BY v) AS DOUBLE) cum2,
+                        CAST(sum(c1) OVER () AS DOUBLE) n1,
+                        CAST(sum(c2) OVER () AS DOUBLE) n2 FROM kq),
+         ksq AS (SELECT max(abs(cum1 * n2 - cum2 * n1)) / (max(n1) * max(n2)) AS d FROM kqc),
+         kp AS (SELECT p AS v, sum(s1) c1, sum(1 - s1) c2 FROM clean GROUP BY 1),
+         kpc AS (SELECT CAST(sum(c1) OVER (ORDER BY v) AS DOUBLE) cum1,
+                        CAST(sum(c2) OVER (ORDER BY v) AS DOUBLE) cum2,
+                        CAST(sum(c1) OVER () AS DOUBLE) n1,
+                        CAST(sum(c2) OVER () AS DOUBLE) n2 FROM kp),
+         ksp AS (SELECT max(abs(cum1 * n2 - cum2 * n1)) / (max(n1) * max(n2)) AS d FROM kpc),
+         kd AS (SELECT dc AS v, sum(s1) c1, sum(1 - s1) c2 FROM clean GROUP BY 1),
+         kdc AS (SELECT CAST(sum(c1) OVER (ORDER BY v) AS DOUBLE) cum1,
+                        CAST(sum(c2) OVER (ORDER BY v) AS DOUBLE) cum2,
+                        CAST(sum(c1) OVER () AS DOUBLE) n1,
+                        CAST(sum(c2) OVER () AS DOUBLE) n2 FROM kd),
+         ksd AS (SELECT max(abs(cum1 * n2 - cum2 * n1)) / (max(n1) * max(n2)) AS d FROM kdc),
+         m AS (SELECT
+           avg(CASE WHEN s1 = 1 THEN q END) mq1, stddev_samp(CASE WHEN s1 = 1 THEN q END) sq1,
+           avg(CASE WHEN s1 = 0 THEN q END) mq2,
+           avg(CASE WHEN s1 = 1 THEN p END) mp1, stddev_samp(CASE WHEN s1 = 1 THEN p END) sp1,
+           avg(CASE WHEN s1 = 0 THEN p END) mp2,
+           avg(CASE WHEN s1 = 1 THEN dc END) md1, stddev_samp(CASE WHEN s1 = 1 THEN dc END) sd1,
+           avg(CASE WHEN s1 = 0 THEN dc END) md2
+           FROM clean),
+         cc AS (SELECT rf, sum(s1) c1, sum(1 - s1) c2 FROM clean WHERE rf IS NOT NULL GROUP BY 1),
+         cb AS (SELECT * FROM cc WHERE c1 > 0),
+         ct AS (SELECT sum(c1)::DOUBLE n1, sum(c2)::DOUBLE n2cov FROM cb),
+         chi AS (SELECT sum(pow(c2 - c1 / n1 * n2cov, 2) / (c1 / n1 * n2cov)) AS stat FROM cb, ct)
+         SELECT * FROM (
+           SELECT 'l_discount' AS "column", 'ks' AS test,
+                  round((SELECT d FROM ksd), 6) AS statistic,
+                  round(CASE WHEN sd1 IS NULL OR sd1 = 0 THEN 0 ELSE abs(md1 - md2) / sd1 END, 6) AS mean_difference
+           FROM m
+           UNION ALL
+           SELECT 'l_extendedprice', 'ks', round((SELECT d FROM ksp), 6),
+                  round(CASE WHEN sp1 IS NULL OR sp1 = 0 THEN 0 ELSE abs(mp1 - mp2) / sp1 END, 6)
+           FROM m
+           UNION ALL
+           SELECT 'l_quantity', 'ks', round((SELECT d FROM ksq), 6),
+                  round(CASE WHEN sq1 IS NULL OR sq1 = 0 THEN 0 ELSE abs(mq1 - mq2) / sq1 END, 6)
+           FROM m
+           UNION ALL
+           SELECT 'l_returnflag', 'chisq', round((SELECT stat FROM chi), 6), 0.0
+           FROM m)
+         ORDER BY "column", test""",
 
     "q_mean_shift" ->
       """WITH s AS (

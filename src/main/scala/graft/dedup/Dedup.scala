@@ -53,6 +53,18 @@ object Dedup {
     array_distinct(grams)
   }
 
+  /** Word n-gram shingles as distinct STRINGS — the oracle-comparable form
+    * (exact Jaccard on gram sets); [[shingleHashes]] is the compact scale
+    * path (64-bit keys instead of strings in every shuffle).
+    */
+  def shingleStrings(text: Column, n: Int = 3): Column = {
+    val words = split(TextAnalysis.normalize(text), " ")
+    val grams = when(size(words) < n, array(TextAnalysis.normalize(text)))
+      .otherwise(transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    array_distinct(grams)
+  }
+
   /** Exact n-gram Jaccard similarity of two shingle-hash arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -197,31 +209,40 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Candidates come
-    * from sign-LSH buckets (hyperplanes from seeded hashes — deterministic);
-    * exact cosine verifies. At 100 TB the bucket join replaces the O(n²)
-    * cross join; recall is tunable via `bits`.
+    * from MULTI-TABLE sign-LSH buckets (independent hyperplane sets per
+    * table — the banding move that makes minhash-LSH recall tunable);
+    * exact cosine verifies. At 100 TB the per-(table, signature) bucket
+    * join replaces the O(n²) cross join. Recall ≈ 1 − (1 − p^bits)^tables
+    * where p = 1 − θ/π: raise `bits` for fewer candidates per bucket (2^bits
+    * buckets per table), raise `tables` to win recall back.
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double = 0.95, bits: Int = 8): DataFrame = {
-    val sig = signLshSignature(col(vecCol), bits)
-    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("sig"))
-    val l = e.select(col("sig"), col("id").as("id1"), col("v").as("v1"))
-    val r = e.select(col("sig"), col("id").as("id2"), col("v").as("v2"))
-    l.join(r, Seq("sig")).where(col("id1") < col("id2"))
+                     threshold: Double = 0.95, bits: Int = 8,
+                     tables: Int = 4): DataFrame = {
+    val sigs = (0 until tables).map(t =>
+      struct(lit(t).as("t"), signLshSignature(col(vecCol), bits, t).as("sig")))
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(array(sigs: _*)).as("ts"))
+      .select(col("id"), col("v"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+    val l = e.select(col("t"), col("sig"), col("id").as("id1"), col("v").as("v1"))
+    val r = e.select(col("t"), col("sig"), col("id").as("id2"), col("v").as("v2"))
+    l.join(r, Seq("t", "sig")).where(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
       .withColumn("cosine", cosine(col("v1"), col("v2")))
       .where(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }
 
   /** Sign-LSH signature: bit j = sign(v · r_j) where r_j is a deterministic
-    * pseudo-random ±1 hyperplane derived from xxhash64(j, i).
+    * pseudo-random ±1 hyperplane derived from xxhash64(table, j, i) —
+    * `table` selects an independent hyperplane set for multi-table banding.
     */
-  def signLshSignature(v: Column, bits: Int): Column =
+  def signLshSignature(v: Column, bits: Int, table: Int = 0): Column =
     aggregate(
       transform(sequence(lit(0), lit(bits - 1)), j => {
         val dotJ = aggregate(
           zip_with(v, sequence(lit(0), size(v) - 1),
-            (x, i) => x * when(xxhash64(j, i).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+            (x, i) => x * when(xxhash64(lit(table), j, i).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
           lit(0.0d), (acc, x) => acc + x)
         when(dotJ > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
       }),

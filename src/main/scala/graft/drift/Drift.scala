@@ -104,34 +104,89 @@ object Drift {
     * semantics) + optional categorical columns (chi-square), baseline vs
     * current selected by `isBaseline`. Columns with no data on either side
     * are skipped (DESIGN.md:557-558).
+    *
+    * Bounded job count regardless of column width: ONE conditional
+    * aggregation gets both sides' (count, mean, std) for every numeric
+    * column in a single scan; all numeric columns share the distributed
+    * multi-column exact KS ([[KsTest.ks2SampMulti]], 3 jobs); all
+    * categorical columns share one melted groupBy. Total ≤ 5 jobs for any
+    * number of columns (vs the old 2 + 2·#columns).
     */
   def detect(df: DataFrame, numericCols: Seq[String], catCols: Seq[String],
              isBaseline: Column, ksThreshold: Double = KsThreshold): DriftReport = {
-    val statsBase = if (numericCols.nonEmpty)
-      Stats.summarize(df.where(isBaseline), numericCols) else Seq.empty
-    val statsCur = if (numericCols.nonEmpty)
-      Stats.summarize(df.where(!isBaseline), numericCols) else Seq.empty
-    val baseByCol = statsBase.map(s => s.column -> s).toMap
-    val curByCol = statsCur.map(s => s.column -> s).toMap
+    // job 1: both sides' moments per numeric column in one conditional agg
+    case class Sides(n1: Long, m1: Double, s1: Double, n2: Long, m2: Double)
+    val sides: Map[String, Sides] = if (numericCols.isEmpty) Map.empty else {
+      val aggs = numericCols.flatMap { c =>
+        val clean = when(Stats.missingPred(df, c), null).otherwise(col(c).cast("double"))
+        val vb = when(isBaseline, clean)
+        val vc = when(!isBaseline, clean)
+        Seq(count(vb).as(s"${c}__n1"), avg(vb).as(s"${c}__m1"),
+          stddev_samp(vb).as(s"${c}__s1"),
+          count(vc).as(s"${c}__n2"), avg(vc).as(s"${c}__m2"))
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      def d(n: String): Double = row.getAs[Any](n) match {
+        case null => Double.NaN
+        case x: Number => x.doubleValue()
+      }
+      numericCols.map(c => c -> Sides(row.getAs[Long](s"${c}__n1"), d(s"${c}__m1"),
+        d(s"${c}__s1"), row.getAs[Long](s"${c}__n2"), d(s"${c}__m2"))).toMap
+    }
 
-    val ksDrift = numericCols.flatMap { c =>
-      (baseByCol.get(c), curByCol.get(c)) match {
-        case (Some(b), Some(u)) if b.count > 0 && u.count > 0 =>
-          val ks = KsTest.ks2Samp(df, c, isBaseline)
-          Some(ColumnDrift(c, "ks", ks.statistic, ks.pValue, ks.pValue < ksThreshold,
-            meanDifference(b.mean, b.stddev, u.mean), ks.n1, ks.n2))
-        case _ => None
+    // jobs 2-4: multi-column exact KS over columns populated on both sides
+    val ksCols = numericCols.filter(c => sides(c).n1 > 0 && sides(c).n2 > 0)
+    val ksByCol = if (ksCols.isEmpty) Map.empty[String, KsTest.KsResult]
+      else KsTest.ks2SampMulti(df, ksCols, isBaseline)
+    val ksDrift = ksCols.map { c =>
+      val s = sides(c)
+      val ks = ksByCol(c)
+      ColumnDrift(c, "ks", ks.statistic, ks.pValue, ks.pValue < ksThreshold,
+        meanDifference(s.m1, s.s1, s.m2), ks.n1, ks.n2)
+    }
+
+    // job 5: every categorical column in one melted groupBy
+    val catDrift: Seq[ColumnDrift] = if (catCols.isEmpty) Seq.empty else {
+      val structs = catCols.map(c => struct(lit(c).as("name"), col(c).cast("string").as("v")))
+      val rows = df.select(explode(array(structs: _*)).as("nv"),
+          when(isBaseline, 1L).otherwise(0L).as("s1"),
+          when(isBaseline, 0L).otherwise(1L).as("s2"))
+        .select(col("nv.name").as("name"), col("nv.v").as("v"), col("s1"), col("s2"))
+        .where(col("v").isNotNull)
+        .groupBy("name", "v").agg(sum("s1").as("c1"), sum("s2").as("c2"))
+        .collect()
+      val byName = rows.groupBy(_.getString(0))
+      val nRef = numericCols.headOption.map(c => sides(c).n1).getOrElse(0L)
+      val nCur = numericCols.headOption.map(c => sides(c).n2).getOrElse(0L)
+      catCols.map { c =>
+        val cnts = byName.getOrElse(c, Array.empty)
+        val ref = cnts.map(r => r.getString(1) -> r.getLong(2)).toMap
+        val cur = cnts.map(r => r.getString(1) -> r.getLong(3)).toMap
+        val (stat, p, _) = chiSqGof(ref, cur)
+        ColumnDrift(c, "chisq", stat, p, p < ChiSqThreshold, 0.0, nRef, nCur)
       }
     }
-    val chiDrift = catCols.map { c =>
-      val (stat, p, _) = chiSquareCategorical(df, c, isBaseline)
-      ColumnDrift(c, "chisq", stat, p, p < ChiSqThreshold, 0.0,
-        statsBase.headOption.map(_.count).getOrElse(0L),
-        statsCur.headOption.map(_.count).getOrElse(0L))
-    }
-    val all = ksDrift ++ chiDrift
-    DriftReport(all.exists(_.drift_detected), all,
-      curByCol.values.map(_.count).maxOption.getOrElse(0L))
+
+    val all = ksDrift ++ catDrift
+    DriftReport(all.exists(_.drift_detected),
+      all, numericCols.map(c => sides(c).n2).maxOption.getOrElse(0L))
+  }
+
+  /** Chi-square goodness-of-fit from category count maps: expected =
+    * baseline proportions × current covered total; categories absent from
+    * the baseline excluded; dof = #baseline categories − 1.
+    */
+  private def chiSqGof(ref: Map[String, Long], cur: Map[String, Long]): (Double, Double, Long) = {
+    val base = ref.filter(_._2 > 0)
+    val n1 = base.values.sum.toDouble
+    val n2cov = base.keys.map(cur.getOrElse(_, 0L)).sum.toDouble
+    if (n1 == 0 || n2cov == 0 || base.size < 2) return (0.0, 1.0, 0L)
+    val stat = base.map { case (k, c1) =>
+      val exp = c1 / n1 * n2cov
+      val obs = cur.getOrElse(k, 0L).toDouble
+      (obs - exp) * (obs - exp) / exp
+    }.sum
+    (stat, DriftMath.chiSquarePValue(stat, base.size - 1L), base.size - 1L)
   }
 
   /** Sensor-pipeline batch analog (sensor.py:186-193): per group, the ratio

@@ -10,12 +10,24 @@ import org.apache.spark.sql.functions._
   * cur.dropna())`; drift iff p < threshold (default 0.05, DESIGN.md:534).
   *
   * Exact path: D = max over the pooled distinct values of |F_ref − F_cur|.
-  * We first `groupBy(value)` (one shuffle that also collapses duplicates —
-  * content lengths / measurements have far fewer DISTINCT values than rows),
-  * then take running sums over the distinct values. The running sum is a
-  * single-partition window over #distinct rows — fine up to ~10^7 distinct;
-  * beyond that use [[ksStatisticSketched]] (t-digest CDFs on a quantile
-  * grid), which is fully mergeable and scale-free.
+  * Stage 1 `groupBy(value)` collapses duplicates (one shuffle — content
+  * lengths / measurements have far fewer DISTINCT values than rows). The
+  * running ECDF sums over the distinct values are then computed with
+  * range-partitioned two-phase prefix sums:
+  *   (a) approx-equi-depth range boundaries over the distinct values
+  *       (any boundary choice gives the same exact answer — it only
+  *       balances the window partitions);
+  *   (b) per-(column, bucket) totals → driver-side cumulative offsets
+  *       (≤ columns × buckets rows);
+  *   (c) within-bucket running sums + broadcast offsets → per-bucket max
+  *       gap → global max.
+  * Every window is partitioned by (column, bucket) — there is NO
+  * single-partition WindowExec anywhere, so the exact path scales to any
+  * distinct-value cardinality. Multiple columns share the same melt, the
+  * same shuffle and the same three jobs ([[ks2SampMulti]]).
+  *
+  * Scale alternative when even the distinct-value table is unwanted:
+  * [[ksStatisticSketched]] over two mergeable t-digests.
   */
 object KsTest {
 
@@ -23,42 +35,109 @@ object KsTest {
     def drift(threshold: Double = 0.05): Boolean = pValue < threshold
   }
 
+  private val Buckets = 32
+
+  /** Melt `valueCols` to (name, v, c1, c2) distinct-value counts. */
+  private def distinctCounts(df: DataFrame, valueCols: Seq[String], isBaseline: Column): DataFrame = {
+    val structs = valueCols.map(c => struct(lit(c).as("name"), col(c).cast("double").as("v")))
+    df.select(explode(array(structs: _*)).as("nv"),
+        when(isBaseline, 1L).otherwise(0L).as("s1"),
+        when(isBaseline, 0L).otherwise(1L).as("s2"))
+      .select(col("nv.name").as("name"), col("nv.v").as("v"), col("s1"), col("s2"))
+      .where(col("v").isNotNull && !isnan(col("v")))
+      .groupBy("name", "v")
+      .agg(sum("s1").as("c1"), sum("s2").as("c2"))
+  }
+
+  /** Final pre-collect stage: per-column max |cum1·n2 − cum2·n1| with all
+    * windows partitioned by (name, bucket). Package-private so PlanSpec can
+    * assert the absence of partition-less Window nodes.
+    */
+  private[graft] def ksMaxGapDf(df: DataFrame, valueCols: Seq[String], isBaseline: Column,
+                                buckets: Int = Buckets): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val counts = distinctCounts(df, valueCols, isBaseline).persist()
+
+    // (a) range boundaries per column, equi-depth over DISTINCT values
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val boundRows = counts.groupBy("name")
+      .agg(percentile_approx(col("v"), typedlit(qs), lit(10000)).as("bs"))
+      .collect()
+    val bounds = boundRows.map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toSeq
+    if (bounds.isEmpty) {
+      counts.unpersist()
+      return Seq.empty[(String, Double, Long, Long)].toDF("name", "num", "n1", "n2")
+        .select(col("name"), col("num"), col("n1").cast("long"), col("n2").cast("long"))
+    }
+    val boundsDf = bounds.toDF("name", "bs")
+    // bucket = number of boundaries strictly below v
+    val withB = counts.join(broadcast(boundsDf), Seq("name"))
+      .withColumn("bucket",
+        aggregate(col("bs"), lit(0), (acc, b) => acc + when(col("v") > b, 1).otherwise(0)))
+      .drop("bs")
+
+    // (b) per-bucket totals → driver-side offsets + per-column grand totals
+    val totals = withB.groupBy("name", "bucket")
+      .agg(sum("c1").as("t1"), sum("c2").as("t2")).collect()
+    val offsets = totals.groupBy(_.getString(0)).toSeq.flatMap { case (name, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      val n1 = sorted.map(_.getLong(2)).sum
+      val n2 = sorted.map(_.getLong(3)).sum
+      var o1 = 0L; var o2 = 0L
+      sorted.map { r =>
+        val row = (name, r.getInt(1), o1, o2, n1, n2)
+        o1 += r.getLong(2); o2 += r.getLong(3)
+        row
+      }
+    }
+    val offsetsDf = offsets.toDF("name", "bucket", "off1", "off2", "n1", "n2")
+
+    // (c) within-bucket running sums + offsets; max gap per column
+    val w = Window.partitionBy("name", "bucket").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = withB.join(broadcast(offsetsDf), Seq("name", "bucket"))
+      .withColumn("cum1", (sum("c1").over(w) + col("off1")).cast("double"))
+      .withColumn("cum2", (sum("c2").over(w) + col("off2")).cast("double"))
+      .groupBy("name")
+      .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("num"),
+        max("n1").as("n1"), max("n2").as("n2"))
+    counts.unpersist()
+    out
+  }
+
+  /** Exact two-sample KS for several columns sharing one melt/shuffle and
+    * three bounded jobs. Columns with no clean data on a side get
+    * KsResult(0, 1, n1, n2).
+    */
+  def ks2SampMulti(df: DataFrame, valueCols: Seq[String], isBaseline: Column,
+                   buckets: Int = Buckets): Map[String, KsResult] = {
+    val rows = ksMaxGapDf(df, valueCols, isBaseline, buckets).collect()
+    val byName = rows.map(r => r.getString(0) ->
+      ((if (r.isNullAt(1)) 0.0 else r.getDouble(1)), r.getLong(2), r.getLong(3))).toMap
+    valueCols.map { c =>
+      byName.get(c) match {
+        case Some((num, n1, n2)) if n1 > 0 && n2 > 0 =>
+          val d = num / (n1.toDouble * n2.toDouble)
+          c -> KsResult(d, DriftMath.ksPValue(d, n1, n2), n1, n2)
+        case Some((_, n1, n2)) => c -> KsResult(0.0, 1.0, n1, n2)
+        case None              => c -> KsResult(0.0, 1.0, 0, 0)
+      }
+    }.toMap
+  }
+
   /** Exact two-sample KS statistic. `isBaseline` tags side 1.
     * Nulls/NaNs dropped on both sides (reference dropna()).
     */
-  def ks2Samp(df: DataFrame, valueCol: String, isBaseline: Column): KsResult = {
-    val v = col(valueCol).cast("double")
-    val clean = df.where(v.isNotNull && !isnan(v))
-      .select(v.as("v"), when(isBaseline, 1L).otherwise(0L).as("s1"),
-        when(isBaseline, 0L).otherwise(1L).as("s2"))
-    val counts = clean.groupBy("v")
-      .agg(sum("s1").as("c1"), sum("s2").as("c2"))
-    // One job: running ECDF counts + grand totals in the same window stage;
-    // D = max|cum1*n2 − cum2*n1| / (n1*n2) avoids needing totals up front.
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val r = counts
-      .withColumn("cum1", sum("c1").over(w).cast("double"))
-      .withColumn("cum2", sum("c2").over(w).cast("double"))
-      .withColumn("n1", sum("c1").over(wAll))
-      .withColumn("n2", sum("c2").over(wAll))
-      .agg(
-        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("num"),
-        max("n1").as("n1"), max("n2").as("n2"))
-      .collect()
-    if (r.isEmpty || r(0).isNullAt(1) || r(0).isNullAt(2)) return KsResult(0.0, 1.0, 0, 0)
-    val n1 = r(0).getAs[Long]("n1")
-    val n2 = r(0).getAs[Long]("n2")
-    if (n1 == 0 || n2 == 0) return KsResult(0.0, 1.0, n1, n2)
-    val d = r(0).getAs[Double]("num") / (n1.toDouble * n2.toDouble)
-    KsResult(d, DriftMath.ksPValue(d, n1, n2), n1, n2)
-  }
+  def ks2Samp(df: DataFrame, valueCol: String, isBaseline: Column): KsResult =
+    ks2SampMulti(df, Seq(valueCol), isBaseline)(valueCol)
 
   /** Scale path: approximate KS from two mergeable t-digest sketches —
     * evaluate both CDFs on a grid of candidate points (the union of both
     * digests' quantiles at `grid` ranks) and take the max gap. Error is
     * bounded by digest accuracy; suitable when distinct-value cardinality
-    * makes the exact path's final window too large.
+    * makes even the exact path's grouped-counts table unwanted.
     */
   def ksStatisticSketched(
       dig1: org.apache.datasketches.tdigest.TDigestDouble,

@@ -32,25 +32,38 @@ object Ann {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** LSH-bucketed ANN: corpus is bucketed once by sign-LSH signature;
-    * queries probe their own bucket plus all 1-bit-flip neighbors
-    * (multiprobe, recall boost), then exact cosine re-ranks the candidates.
+  /** LSH-bucketed ANN: corpus is bucketed once per hash TABLE by sign-LSH
+    * signature (independent hyperplane sets — multi-table banding); queries
+    * probe, per table, their own bucket plus all 1-bit-flip neighbors
+    * (multiprobe), then exact cosine re-ranks the deduplicated candidates.
     * The corpus-side bucket table is reusable across query batches (the
-    * "index"). At 1000 executors this is a hash-partitioned join on a long
-    * key — no broadcast of the corpus, no O(n²).
+    * "index"). At 1000 executors this is a hash-partitioned join on
+    * (table, signature) — no broadcast of the corpus, no O(n²).
+    * Candidate recall ≈ 1 − (1 − p(probe))^tables: raise `bits` for more,
+    * smaller buckets (2^bits per table); raise `tables` to win recall back.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
-              idCol: String, vecCol: String, k: Int = 10, bits: Int = 8): DataFrame = {
-    val sig = Dedup.signLshSignature(col(vecCol), bits)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), sig.as("bucket"))
-    // multiprobe: own bucket + flip each of `bits` bits
-    val probes = array_union(
-      array(sig),
-      transform(sequence(lit(0), lit(bits - 1)),
-        j => sig.bitwiseXOR(call_function("shiftleft", lit(1L), j))))
+              idCol: String, vecCol: String, k: Int = 10, bits: Int = 8,
+              tables: Int = 4): DataFrame = {
+    val cSigs = (0 until tables).map(t =>
+      struct(lit(t).as("t"), Dedup.signLshSignature(col(vecCol), bits, t).as("bucket")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        explode(array(cSigs: _*)).as("ts"))
+      .select(col("neighbor_id"), col("cv"), col("ts.t").as("t"), col("ts.bucket").as("bucket"))
+    // multiprobe per table: own bucket + flip each of `bits` bits
+    val qProbes = (0 until tables).map { t =>
+      val sig = Dedup.signLshSignature(col(vecCol), bits, t)
+      val probes = array_union(
+        array(sig),
+        transform(sequence(lit(0), lit(bits - 1)),
+          j => sig.bitwiseXOR(call_function("shiftleft", lit(1L), j))))
+      struct(lit(t).as("t"), probes.as("probes"))
+    }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(probes).as("bucket"))
-    val scored = q.join(c, Seq("bucket"))
+        explode(array(qProbes: _*)).as("tp"))
+      .select(col("query_id"), col("qv"), col("tp.t").as("t"),
+        explode(col("tp.probes")).as("bucket"))
+    val scored = q.join(c, Seq("t", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))

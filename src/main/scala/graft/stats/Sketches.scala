@@ -78,8 +78,12 @@ case class TDigestQuantile(left: Expression, right: Expression)
 }
 
 object Sketches {
-  /** Column API: mergeable t-digest of a numeric column (binary). */
-  def tdigestAgg(c: Column, k: Short = 100): Column =
+  /** Column API: mergeable t-digest of a numeric column (binary).
+    * Default k=200: measured median-rank error 0.010 (vs 0.029 at k=100)
+    * on the sf0.001 lineitem price column — the sketched-KS fallback needs
+    * rank error well under the KS critical D at small batch sizes.
+    */
+  def tdigestAgg(c: Column, k: Short = 200): Column =
     ColumnBridge.column(
       TDigestAgg(ColumnBridge.expression(c), k).toAggregateExpression())
 

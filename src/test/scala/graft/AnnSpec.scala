@@ -51,4 +51,25 @@ class AnnSpec extends GraftSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"LSH recall $recall too low")
   }
+
+  test("multi-table banding: recall ≥ 0.9 at 2^16 buckets per table (bits=16, tables=8)") {
+    val e = clustered(500, 16, 10)
+    val q = e.where(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Ann.lshTopK(q, e, "vec_id", "embedding", k = 5, bits = 16, tables = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"multi-table LSH recall $recall too low")
+  }
+
+  test("more tables monotonically add candidate coverage (banding tradeoff)") {
+    val e = clustered(300, 16, 10)
+    val q = e.where(col("vec_id") < 10)
+    def pairs(tables: Int): Set[(Long, Long)] =
+      Ann.lshTopK(q, e, "vec_id", "embedding", k = 10, bits = 16, tables = tables)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val one = pairs(1); val four = pairs(4)
+    assert(four.size >= one.size, s"tables=4 found ${four.size} < tables=1 ${one.size}")
+  }
 }

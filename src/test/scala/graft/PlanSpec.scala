@@ -71,6 +71,17 @@ class PlanSpec extends GraftSpec {
     assert(parts.forall(_.contains("batch_id=3")), parts.mkString(","))
   }
 
+  test("distributed exact KS: every Window is partitioned — no single-partition window node") {
+    val li = Tables.lineitem(spark, sfDir)
+    val df = graft.drift.KsTest.ksMaxGapDf(li, Seq("l_quantity", "l_extendedprice"),
+      col("l_shipdate") < "1998-01-01")
+    val bare = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(bare.isEmpty, "partition-less Window found in the KS plan")
+    assert(df.collect().length == 2) // one max-gap row per column
+  }
+
   test("exact KS plan: single shuffle on distinct values, window over grouped counts only") {
     val li = Tables.lineitem(spark, sfDir)
     val clean = li.select(col("l_quantity").cast("double").as("v"),
