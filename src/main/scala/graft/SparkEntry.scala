@@ -171,6 +171,21 @@ object SparkEntry {
         .orderBy("event_type", "win")
     }),
 
+    // A8 REFERENCE-EXACT trace (sensor.py:178-194): growing window, every
+    // event evaluated once the window holds ≥ 50, denominator fixed at 50,
+    // reset ONLY on drift. One row per drift fire; DuckDB oracle replays the
+    // same sequential semantics with a recursive CTE over cumulative counts.
+    "q_growing_window_drift" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(
+        col("event_type").as("key"),
+        unix_micros(col("ts").cast("timestamp")).as("o1"), // session TZ is UTC
+        col("event_id").as("o2"),
+        (col("value") > 150).as("unusual")).as[graft.streaming.DriftStream.KeyedEvent]
+      graft.streaming.DriftStream.growingWindowDrift(ev)
+        .toDF().orderBy("event_type", "fire_rn")
+    }),
+
     // W1: true count-based SLIDING frame rowsBetween(-49, 0) — running
     // unusual ratio over the last 50 events per key (sensor window before
     // the reset decision); emitted at every 100th event to keep output small
@@ -418,6 +433,47 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // Composed news-pipeline slice (news.py:476-553, entry point 2):
+    // union two overlapping feeds (U2) → first-wins dedup on the content
+    // fingerprint (A12, news.py:74-82) → relevance filter (P4) → anti-join
+    // vs the seen set (J4) → sort desc + limit (O1/O2) → truncate (F2)
+    "q_news_pipeline" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val srcA = d.where(col("doc_id") % 3 === 0)
+      val srcB = d.where(col("doc_id") % 2 === 0)
+      val withFp = srcA.unionByName(srcB)
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val deduped = Dedup.firstWins(withFp, Seq("fp"), "doc_id")
+      val relevant = deduped.where(lower(coalesce(col("text"), lit(""))).contains("spark"))
+      val seen = d.where(col("doc_id") < 100)
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      val fresh = Dedup.newOnly(relevant, seen, Seq("fp"))
+      fresh.orderBy(col("n_chars").desc, col("doc_id").asc).limit(20)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          when(length(col("text")) > 100,
+            concat(substring(col("text"), 1, 100), lit("...")))
+            .otherwise(col("text")).as("snippet"))
+        .orderBy("doc_id")
+    }),
+
+    // F9 both directions (sensor.py:184 json.dumps per event → parse):
+    // to_json(struct) → from_json roundtrip; aggregating the ROUND-TRIPPED
+    // fields against an oracle computed from the raw columns certifies the
+    // serialization is lossless
+    "q_json_roundtrip" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .where(col("value").isNotNull && !isnan(col("value")))
+      val js = e.select(to_json(struct(col("event_id"), col("event_type"), col("value"))).as("j"))
+      js.select(from_json(col("j"),
+          lit("event_id BIGINT, event_type STRING, value DOUBLE")).as("p"))
+        .select(col("p.event_type").as("event_type"), col("p.event_id").as("event_id"),
+          col("p.value").as("value"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"),
+          r(sum("value"), 4).as("value_sum"))
+        .orderBy("event_type")
+    }),
+
     // ===== drift (A9-A11, A16, A17) =====
 
     // A9 exact two-sample KS statistic, distributed (ties included)
@@ -573,6 +629,34 @@ object SparkEntry {
                 round(unusual / 50.0, 4) AS ratio,
                 (unusual / 50.0) > 0.10 AS drift
          FROM wins WHERE n = 50 ORDER BY event_type, win""",
+
+    "q_growing_window_drift" ->
+      """WITH RECURSIVE numbered AS (
+           SELECT event_type,
+                  row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+                  CASE WHEN value > 150 THEN 1 ELSE 0 END AS unusual
+           FROM events),
+         cum AS (
+           SELECT event_type, rn,
+                  CAST(sum(unusual) OVER (PARTITION BY event_type ORDER BY rn) AS BIGINT) AS cu
+           FROM numbered),
+         fires AS (
+           SELECT event_type, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS cu
+           FROM (SELECT DISTINCT event_type FROM numbered)
+           UNION ALL
+           SELECT f.event_type, n.rn, n.cu
+           FROM fires f
+           JOIN cum n ON n.event_type = f.event_type
+            AND n.rn = (SELECT min(c.rn) FROM cum c
+                        WHERE c.event_type = f.event_type
+                          AND c.rn >= f.rn + 50 AND c.cu - f.cu >= 6)
+         )
+         SELECT event_type, rn AS fire_rn,
+                CAST(cu - lag(cu, 1, 0) OVER (PARTITION BY event_type ORDER BY rn) AS BIGINT) AS unusual_count,
+                round((cu - lag(cu, 1, 0) OVER (PARTITION BY event_type ORDER BY rn)) / 50.0, 4) AS ratio
+         FROM fires
+         QUALIFY rn > 0
+         ORDER BY event_type, fire_rn""",
 
     "q_sliding_window_ratio" ->
       """WITH numbered AS (
@@ -762,6 +846,31 @@ object SparkEntry {
          tot AS (SELECT sum(c1)::DOUBLE n1, sum(c2)::DOUBLE n2 FROM base)
          SELECT round(sum(pow(c2 - c1 / n1 * n2, 2) / (c1 / n1 * n2)), 6) AS chisq_lang
          FROM base, tot""",
+
+    "q_news_pipeline" ->
+      """WITH merged AS (
+           SELECT * FROM documents WHERE doc_id % 3 = 0
+           UNION ALL SELECT * FROM documents WHERE doc_id % 2 = 0),
+         fp AS (SELECT *, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+                FROM merged),
+         dedup AS (SELECT * FROM fp
+                   QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1),
+         rel AS (SELECT * FROM dedup WHERE contains(lower(coalesce(text, '')), 'spark')),
+         seen AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+                  FROM documents WHERE doc_id < 100),
+         fresh AS (SELECT r.* FROM rel r WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = r.fp)),
+         top AS (SELECT * FROM fresh ORDER BY n_chars DESC, doc_id ASC LIMIT 20)
+         SELECT doc_id, lang, source, n_chars,
+                CASE WHEN length(text) > 100 THEN substring(text, 1, 100) || '...'
+                     ELSE text END AS snippet
+         FROM top ORDER BY doc_id""",
+
+    "q_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(event_id) AS BIGINT) AS id_sum,
+                round(sum(value), 4) AS value_sum
+         FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         GROUP BY 1 ORDER BY 1""",
 
     "q_hll_distinct" ->
       "SELECT true AS parts_ok, true AS orders_ok",

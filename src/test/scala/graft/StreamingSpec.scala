@@ -65,6 +65,59 @@ class StreamingSpec extends GraftSpec {
     assert(!alerts.find(_.sensor_type == "water").get.drift_detected)
   }
 
+  private def runGrowing(batches: Seq[Seq[SensorEvent]]): Seq[DriftAlert] = {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[SensorEvent]
+    val out = DriftStream.countWindowDriftGrowing(mem.toDS())
+    val qname = s"drift_grow_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      spark.table(qname).as[DriftAlert].collect().toSeq.sortBy(_.window_end_seq)
+    } finally q.stop()
+  }
+
+  test("golden trace (sensor.py:178-194): 6 unusual at event 50 fires AND resets") {
+    // 6 unusual in the first 50 → fires exactly at seq 50, window resets;
+    // the next 50 clean events then fire nothing
+    val ev = (1 to 100).map(i => SensorEvent("traffic", i, unusual = i <= 6))
+    val alerts = runGrowing(Seq(ev))
+    assert(alerts.map(a => (a.window_end_seq, a.unusual_ratio, a.drift_detected)) ==
+      Seq((50L, 0.12, true)))
+  }
+
+  test("golden trace: 5 unusual does not fire; window GROWS with denominator 50") {
+    // 5 unusual in events 1..50: no fire at 50 (0.10 not > 0.10). The 6th
+    // unusual arrives at seq 60 → ratio = 6/50 = 0.12 over the GROWN window
+    // of 60 events → fires at 60, not at a tumbled boundary
+    val ev = (1 to 120).map(i => SensorEvent("env", i, unusual = i <= 5 || i == 60))
+    val alerts = runGrowing(Seq(ev))
+    assert(alerts.map(a => (a.window_end_seq, a.unusual_ratio, a.drift_detected)) ==
+      Seq((60L, 0.12, true)))
+  }
+
+  test("golden trace: reset-only-on-drift state spans micro-batches") {
+    // batch 1 ends mid-window (no fire: only 5 unusual by event 70);
+    // batch 2 brings the 6th unusual at 90 → fire at 90; then 6 more
+    // unusual at 140..145 → second fire at 145 (window restarted at 91)
+    val b1 = (1 to 70).map(i => SensorEvent("water", i, unusual = i <= 5))
+    val b2 = (71 to 150).map(i => SensorEvent("water", i,
+      unusual = i == 90 || (140 to 145).contains(i)))
+    val alerts = runGrowing(Seq(b1, b2))
+    assert(alerts.map(a => (a.window_end_seq, a.drift_detected)) ==
+      Seq((90L, true), (145L, true)))
+    assert(alerts.forall(a => math.abs(a.unusual_ratio - 0.12) < 1e-12))
+  }
+
+  test("batch analog growingWindowDrift equals the streaming trace") {
+    import graft.streaming.DriftStream.KeyedEvent
+    val ev = ((1 to 120).map(i => KeyedEvent("a", i.toLong, 0L, i <= 5 || i == 60)) ++
+      (1 to 50).map(i => KeyedEvent("b", i.toLong, 0L, i <= 6))).toDS()
+    val fires = DriftStream.growingWindowDrift(ev).collect()
+      .map(f => (f.event_type, f.fire_rn, f.unusual_count)).sortBy(x => (x._1, x._2)).toSeq
+    assert(fires == Seq(("a", 60L, 6L), ("b", 50L, 6L)))
+  }
+
   test("tumbling 5-minute window aggregate matches manual bucketing (DESIGN.md:283-291)") {
     val sfDir = "/root/testdata/sf0.001"
     val e = graft.core.Tables.events(spark, sfDir)
