@@ -119,13 +119,19 @@ object Dedup {
                       threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
                       shingleN: Int = 3): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
-    val buckets = sigs.select(col("id"), col("sig"),
+    // band shuffle carries ONLY (band, bkey, id) — the 8·k-byte signatures
+    // are re-attached to the (far smaller) deduplicated candidate set
+    // afterwards; the signature aggregation subtree is identical in all
+    // three uses, so Spark's ReuseExchange materializes it once
+    val buckets = sigs.select(col("id"),
         posexplode(lshBandKeys(col("sig"), bands, k)).as(Seq("band", "bkey")))
-    val l = buckets.select(col("band"), col("bkey"), col("id").as("id1"), col("sig").as("sig1"))
-    val r = buckets.select(col("band"), col("bkey"), col("id").as("id2"), col("sig").as("sig2"))
+    val l = buckets.select(col("band"), col("bkey"), col("id").as("id1"))
+    val r = buckets.select(col("band"), col("bkey"), col("id").as("id2"))
     val cand = l.join(r, Seq("band", "bkey")).where(col("id1") < col("id2"))
-      .select("id1", "id2", "sig1", "sig2").dropDuplicates("id1", "id2")
+      .select("id1", "id2").dropDuplicates("id1", "id2")
     cand
+      .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+      .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig1"), col("sig2"),
           (a, b) => when(a === b, 1).otherwise(0)), lit(0),

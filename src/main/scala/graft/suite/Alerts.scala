@@ -43,6 +43,8 @@ object Alerts {
       .join(broadcast(rulesDf), col("check") === col("rule_metric"))
       .where(fired)
       .select(col("batch_id"), col("check"), col("column"), col("severity"),
+        // template contract: exactly ONE %s slot (replace substitutes every
+        // occurrence with the same fired value by design)
         replace(col("message_template"), lit("%s"),
           round(value, 6).cast("string")).as("message"))
   }

@@ -290,6 +290,7 @@ object SuiteRunner {
           io: TableIO, baselineBatch: Long = 0L,
           lenCardCap: Long = LenCardCap): Seq[Verdict] = {
     import spark.implicits._
+    val t0 = System.nanoTime() // lineage wall_ms covers the WHOLE run
     // normalize batch_id: a disk layout partitioned by batch_id reads the
     // partition column back as int — the engine contract is bigint
     val code = codeRaw.withColumn("batch_id", col("batch_id").cast("bigint"))
@@ -373,7 +374,6 @@ object SuiteRunner {
     // (a per-batch write loop re-plans the whole pipeline #tables × #batches
     // times — measured 26 s of serial overhead at 8M rows, which capped the
     // 8→32-core scaling efficiency at 0.51)
-    val t0 = System.nanoTime()
     allViolations.foreach { case (name, df) =>
       io.writeAllPartitions(df, s"violations_$name")
     }
