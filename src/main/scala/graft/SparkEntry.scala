@@ -480,10 +480,11 @@ object SparkEntry {
     "q_ks_statistic" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val isBase = col("l_shipdate") < lit(BaselineDate).cast("timestamp")
-      val price = KsTest.ks2Samp(li, "l_extendedprice", isBase)
-      val qty = KsTest.ks2Samp(li, "l_quantity", isBase)
+      // both columns share one melt/shuffle and two driver actions
+      val ks = KsTest.ks2SampMulti(li, Seq("l_extendedprice", "l_quantity"), isBase)
       one(s, Seq("ks_price", "ks_qty"),
-        Seq(math.rint(price.statistic * 1e6) / 1e6, math.rint(qty.statistic * 1e6) / 1e6))
+        Seq(math.rint(ks("l_extendedprice").statistic * 1e6) / 1e6,
+          math.rint(ks("l_quantity").statistic * 1e6) / 1e6))
     }),
 
     // A16 PSI over 10 baseline-pinned bins

@@ -54,11 +54,16 @@ object KsTest {
     * assert the absence of partition-less Window nodes.
     */
   private[graft] def ksMaxGapDf(df: DataFrame, valueCols: Seq[String], isBaseline: Column,
-                                buckets: Int = Buckets): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+                                buckets: Int = Buckets): DataFrame =
+    ksMaxGapFromCounts(distinctCounts(df, valueCols, isBaseline), buckets)
 
-    val counts = distinctCounts(df, valueCols, isBaseline).persist()
+  /** Builds the max-gap query over a (possibly cached) distinct-counts
+    * table. Runs ONE driver action itself (the boundary percentiles); the
+    * returned DataFrame is the single final job.
+    */
+  private def ksMaxGapFromCounts(counts: DataFrame, buckets: Int): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
 
     // (a) range boundaries per column, equi-depth over DISTINCT values
     val qs = (1 until buckets).map(_.toDouble / buckets)
@@ -67,7 +72,6 @@ object KsTest {
       .collect()
     val bounds = boundRows.map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toSeq
     if (bounds.isEmpty) {
-      counts.unpersist()
       return Seq.empty[(String, Double, Long, Long)].toDF("name", "num", "n1", "n2")
         .select(col("name"), col("num"), col("n1").cast("long"), col("n2").cast("long"))
     }
@@ -78,21 +82,20 @@ object KsTest {
         aggregate(col("bs"), lit(0), (acc, b) => acc + when(col("v") > b, 1).otherwise(0)))
       .drop("bs")
 
-    // (b) per-bucket totals → driver-side offsets + per-column grand totals
-    val totals = withB.groupBy("name", "bucket")
-      .agg(sum("c1").as("t1"), sum("c2").as("t2")).collect()
-    val offsets = totals.groupBy(_.getString(0)).toSeq.flatMap { case (name, rows) =>
-      val sorted = rows.sortBy(_.getInt(1))
-      val n1 = sorted.map(_.getLong(2)).sum
-      val n2 = sorted.map(_.getLong(3)).sum
-      var o1 = 0L; var o2 = 0L
-      sorted.map { r =>
-        val row = (name, r.getInt(1), o1, o2, n1, n2)
-        o1 += r.getLong(2); o2 += r.getLong(3)
-        row
-      }
-    }
-    val offsetsDf = offsets.toDF("name", "bucket", "off1", "off2", "n1", "n2")
+    // (b) per-bucket totals → cumulative offsets + grand totals via TINY
+    // windows over ≤ buckets rows per column (partitioned by column — never
+    // a bare window); stays in the same job as (c), no extra driver action
+    val wOff = Window.partitionBy("name").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("name")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsetsDf = withB.groupBy("name", "bucket")
+      .agg(sum("c1").as("t1"), sum("c2").as("t2"))
+      .select(col("name"), col("bucket"),
+        (sum("t1").over(wOff) - col("t1")).as("off1"),
+        (sum("t2").over(wOff) - col("t2")).as("off2"),
+        sum("t1").over(wAll).as("n1"),
+        sum("t2").over(wAll).as("n2"))
 
     // (c) within-bucket running sums + offsets; max gap per column
     val w = Window.partitionBy("name", "bucket").orderBy("v")
@@ -103,17 +106,20 @@ object KsTest {
       .groupBy("name")
       .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("num"),
         max("n1").as("n1"), max("n2").as("n2"))
-    counts.unpersist()
     out
   }
 
   /** Exact two-sample KS for several columns sharing one melt/shuffle and
-    * three bounded jobs. Columns with no clean data on a side get
-    * KsResult(0, 1, n1, n2).
+    * exactly TWO driver actions (boundary percentiles over the cached
+    * distinct counts, then the single final max-gap job). Columns with no
+    * clean data on a side get KsResult(0, 1, n1, n2).
     */
   def ks2SampMulti(df: DataFrame, valueCols: Seq[String], isBaseline: Column,
                    buckets: Int = Buckets): Map[String, KsResult] = {
-    val rows = ksMaxGapDf(df, valueCols, isBaseline, buckets).collect()
+    val counts = distinctCounts(df, valueCols, isBaseline).persist()
+    val rows =
+      try ksMaxGapFromCounts(counts, buckets).collect()
+      finally counts.unpersist()
     val byName = rows.map(r => r.getString(0) ->
       ((if (r.isNullAt(1)) 0.0 else r.getDouble(1)), r.getLong(2), r.getLong(3))).toMap
     valueCols.map { c =>
