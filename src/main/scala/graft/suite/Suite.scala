@@ -104,6 +104,35 @@ object SuiteRunner {
       shaSamples: Seq[String] = Seq.empty,   // capped \u0000-joined key triples
       lenCardApprox: Long = 0L)              // approx distinct lengths (routing)
 
+  /** Parquet-serializable form of [[BatchArtifacts]] — persisted to the
+    * `artifacts` audit table per batch so a resumed run can reload the
+    * baseline's reference distributions WITHOUT re-scanning the baseline
+    * partition (reference T7/T8 semantics: the first scan pins the
+    * reference; later runs reuse the committed snapshot).
+    */
+  case class ArtifactRow(
+      batch_id: Long, rows: Long,
+      len_min: Double, len_max: Double, len_mean: Double, len_std: Double,
+      missing_path: Long, missing_lang: Long, missing_content: Long,
+      sha_mismatch: Long,
+      lang_counts: Map[String, Long],
+      len_vals: Seq[Long], len_cnts: Seq[Long],
+      fingerprint: String,
+      hll_key: Array[Byte], hll_repo: Array[Byte], tdigest_len: Array[Byte],
+      sha_samples: Seq[String], len_card: Long)
+
+  def toRow(a: BatchArtifacts): ArtifactRow = ArtifactRow(
+    a.batchId, a.rows, a.lenMin, a.lenMax, a.lenMean, a.lenStd,
+    a.missingPath, a.missingLang, a.missingContent, a.shaMismatch,
+    a.langCounts, a.lenCounts.map(_._1), a.lenCounts.map(_._2),
+    a.fingerprint, a.hllKey, a.hllRepo, a.tdigestLen, a.shaSamples, a.lenCardApprox)
+
+  def fromRow(r: ArtifactRow): BatchArtifacts = BatchArtifacts(
+    r.batch_id, r.rows, r.len_min, r.len_max, r.len_mean, r.len_std,
+    r.missing_path, r.missing_lang, r.missing_content, r.sha_mismatch,
+    r.lang_counts, r.len_vals.zip(r.len_cnts),
+    r.fingerprint, r.hll_key, r.hll_repo, r.tdigest_len, r.sha_samples, r.len_card)
+
   /** Exact two-sample KS from distinct-value count maps (driver-side; the
     * maps are groupBy(value).count results, already tiny).
     */
@@ -299,14 +328,27 @@ object SuiteRunner {
     val pending = allBatches.filterNot(committed)
     if (pending.isEmpty) return Seq.empty
 
-    // baseline artifacts: computed once (first scan establishes reference
-    // distributions — reference T7 semantics, DESIGN.md:536-537)
-    val needed = (pending :+ baselineBatch).distinct
-    val arts = collectArtifacts(code, needed, lenCardCap)
+    // baseline artifacts: computed once — the FIRST scan establishes the
+    // reference distributions (T7, DESIGN.md:536-537) and commits them to
+    // the `artifacts` audit table; every later/resumed run reloads that
+    // snapshot instead of re-scanning the baseline partition, so an
+    // incremental run touches ONLY pending batches (and keeps working even
+    // when the input no longer carries the baseline partition)
+    val baselineFromAudit: Option[BatchArtifacts] =
+      if (!io.isCommitted("artifacts", baselineBatch)) None
+      else io.readCommitted(spark, "artifacts").flatMap { df =>
+        df.where(col("batch_id") === baselineBatch).as[ArtifactRow]
+          .collect().headOption.map(fromRow)
+      }
+    val needed =
+      if (baselineFromAudit.isDefined) pending
+      else (pending :+ baselineBatch).distinct
+    val arts = collectArtifacts(code, needed, lenCardCap) ++
+      baselineFromAudit.map(b => b.batchId -> b)
     val base = arts.getOrElse(baselineBatch, throw new IllegalArgumentException(
       s"baseline batch $baselineBatch has no rows in the input (batches present: " +
-        s"${allBatches.mkString(", ")}); include the baseline partition in the input " +
-        "or pass baselineBatch pointing at an existing batch"))
+        s"${allBatches.mkString(", ")}) and no committed artifacts exist for it; " +
+        "include the baseline partition in the input or validate it first"))
     val basePropLen = histProportions(base.lenCounts, base.lenMin, base.lenMax)
 
     // shared violation jobs, batch-attributed, capped deterministically
@@ -466,6 +508,11 @@ object SuiteRunner {
       sketchRows.toDF("batch_id", "rows", "hll_key", "hll_repo", "tdigest_len"),
       "sketches")
 
+    // full per-batch artifacts snapshot (reference distributions + counts +
+    // sketch bytes): what a resumed run loads instead of re-scanning the
+    // baseline partition
+    io.writeAllPartitions(pending.map(b => toRow(arts(b))).toDF(), "artifacts")
+
     // single partitioned writes for verdicts + lineage, then per-batch
     // manifest commits IN ORDER (verdicts last per batch = the atomic commit
     // point; a kill before a batch's commit leaves it pending and re-run)
@@ -480,6 +527,7 @@ object SuiteRunner {
       val a = arts(b)
       allViolations.foreach { case (name, _) => io.commit(s"violations_$name", b, s"""{"batch_id":$b}""") }
       io.commit("sketches", b, s"""{"batch_id":$b}""")
+      io.commit("artifacts", b, s"""{"batch_id":$b}""")
       io.commit("repo_metrics", b, s"""{"batch_id":$b}""")
       io.commit("lineage", b, s"""{"batch_id":$b}""")
       io.commit("verdicts", b,

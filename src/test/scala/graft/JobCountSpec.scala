@@ -1,0 +1,57 @@
+package graft
+
+import graft.drift.Drift
+import graft.gen.CodeTableGen
+import graft.suite.SuiteRunner
+import graft.tableio.ParquetTableIO
+import org.apache.spark.sql.functions._
+
+/** Scale evidence as assertions: the job count of the hot paths must be
+  * BOUNDED — independent of column width (Drift.detect) and of how many
+  * batches are pending (the suite). A per-column or per-batch job loop is
+  * exactly the pattern that dies at 100× scale.
+  */
+class JobCountSpec extends GraftSpec {
+
+  private def countJobs(group: String)(f: => Unit): Int = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try f finally sc.clearJobGroup()
+    sc.statusTracker.getJobIdsForGroup(group).length
+  }
+
+  test("Drift.detect: job count is CONSTANT in column count (no per-column fan-out)") {
+    // Note: under AQE every shuffle-stage materialization is its own job,
+    // so the absolute number reflects stages (measured 15), not actions
+    // (5). The scale property is that the count does NOT grow with width:
+    // the old implementation ran 2 + 2·#columns scans.
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val isBase = col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+    val n4 = countJobs("detect4") {
+      Drift.detect(li, Seq("l_quantity", "l_extendedprice", "l_discount"),
+        Seq("l_returnflag"), isBase)
+    }
+    val n8 = countJobs("detect8") {
+      Drift.detect(li, Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_orderkey", "l_partkey"), Seq("l_returnflag", "l_linestatus"), isBase)
+    }
+    assert(n8 <= n4, s"jobs grew with column count: $n4 (4 cols) -> $n8 (8 cols)")
+    assert(n4 <= 16, s"detect with 4 columns ran $n4 jobs")
+  }
+
+  test("suite: job count does not grow with the number of pending batches") {
+    val code2 = CodeTableGen.generate(spark, 8000, batches = 2).cache()
+    val code4 = CodeTableGen.generate(spark, 8000, batches = 4).cache()
+    val dim = CodeTableGen.repoLangDim(spark)
+    def run(name: String, df: org.apache.spark.sql.DataFrame): Int = countJobs(name) {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      SuiteRunner.run(spark, df, dim, new ParquetTableIO(tmp))
+    }
+    val j2 = run("suite2", code2)
+    val j4 = run("suite4", code4)
+    code2.unpersist(); code4.unpersist()
+    // AQE can add a small data-dependent number of stages; the assertion is
+    // that doubling the batch count does NOT double the job count
+    assert(j4 <= j2 + 2, s"suite jobs grew with batches: $j2 (2 batches) -> $j4 (4 batches)")
+  }
+}

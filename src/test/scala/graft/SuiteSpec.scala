@@ -151,6 +151,33 @@ class SuiteSpec extends GraftSpec {
     } finally rmdir(root)
   }
 
+  test("resume without the baseline partition: reference loads from committed artifacts") {
+    val root = tempDir()
+    try {
+      val io = new ParquetTableIO(root)
+      // first run validates the baseline (+ batch 1) and commits artifacts
+      SuiteRunner.run(spark, code.where(col("batch_id") < 2), dim, io)
+      assert(io.listCommitted("verdicts") == Seq(0L, 1L))
+      assert(io.isCommitted("artifacts", 0L))
+      // later arrival carries ONLY batches 2,3 — the baseline reference
+      // must come from the committed artifacts snapshot, not a re-scan
+      val resumed = SuiteRunner.run(spark, code.where(col("batch_id") >= 2), dim, io)
+      assert(resumed.map(_.batch_id).distinct.sorted == Seq(2L, 3L))
+      // drift verdicts identical to an all-batches-at-once run
+      val full = {
+        val r2 = tempDir()
+        try SuiteRunner.run(spark, code, dim, new ParquetTableIO(r2))
+        finally rmdir(r2)
+      }
+      def key(v: Verdict) = (v.batch_id, v.check, v.column)
+      val fullMap = full.filter(_.batch_id >= 2)
+        .map(v => key(v) -> (v.metric, v.p_value.toString, v.passed)).toMap
+      resumed.foreach { v =>
+        assert(fullMap(key(v)) == ((v.metric, v.p_value.toString, v.passed)), s"mismatch: $v")
+      }
+    } finally rmdir(root)
+  }
+
   test("missing baseline batch fails fast with a clear message") {
     val root = tempDir()
     try {
