@@ -412,15 +412,12 @@ object SuiteRunner {
       "uniqueness" -> dupSample, "referential" -> refSample,
       "sha256_invariant" -> shaViol, "completeness_path" -> emptyPathViol)
 
-    // ONE partitioned write per violation table covering ALL pending batches
-    // (a per-batch write loop re-plans the whole pipeline #tables × #batches
-    // times — measured 26 s of serial overhead at 8M rows, which capped the
-    // 8→32-core scaling efficiency at 0.51)
-    allViolations.foreach { case (name, df) =>
-      io.writeAllPartitions(df, s"violations_$name")
-    }
-    dupViol.unpersist()
-    refViol.unpersist()
+    // All audit writes are gathered and submitted CONCURRENTLY at the end
+    // of the run (see below): one partitioned write per table covering ALL
+    // pending batches — a per-batch write loop re-plans the whole pipeline
+    // #tables × #batches times (measured 26 s serial overhead at 8M rows),
+    // and running the independent writes serially costs a further ~10 s
+    // fixed block at 32 cores.
 
     // per-batch verdict assembly (driver-side arithmetic on tiny aggregates)
     val out = scala.collection.mutable.ArrayBuffer.empty[Verdict]
@@ -493,7 +490,6 @@ object SuiteRunner {
       .withColumn("rn", row_number().over(Window.partitionBy(col("batch_id"))
         .orderBy(col("file_count").desc, col("repo"))))
       .where(col("rn") <= ViolationCap).withColumnRenamed("rn", "rank")
-    io.writeAllPartitions(repoMetrics, "repo_metrics")
 
     // per-batch MERGEABLE sketches (north star: HLL distinct + t-digest
     // quantiles persisted to the audit table so later/resumed runs answer
@@ -504,25 +500,41 @@ object SuiteRunner {
       val a = arts(b)
       (b, a.rows, a.hllKey, a.hllRepo, a.tdigestLen)
     }
-    io.writeAllPartitions(
-      sketchRows.toDF("batch_id", "rows", "hll_key", "hll_repo", "tdigest_len"),
-      "sketches")
 
-    // full per-batch artifacts snapshot (reference distributions + counts +
-    // sketch bytes): what a resumed run loads instead of re-scanning the
-    // baseline partition
-    io.writeAllPartitions(pending.map(b => toRow(arts(b))).toDF(), "artifacts")
-
-    // single partitioned writes for verdicts + lineage, then per-batch
-    // manifest commits IN ORDER (verdicts last per batch = the atomic commit
-    // point; a kill before a batch's commit leaves it pending and re-run)
     val wallMs = (System.nanoTime() - t0) / 1000000 / math.max(1, pending.size)
-    io.writeAllPartitions(out.toSeq.toDF(), "verdicts")
     val lineageRows = pending.map { b =>
       val a = arts(b)
-      Lineage(b, a.rows, arts(b).fingerprint, SuiteVersion, baselineBatch, wallMs)
+      Lineage(b, a.rows, a.fingerprint, SuiteVersion, baselineBatch, wallMs)
     }
-    io.writeAllPartitions(lineageRows.toDF(), "lineage")
+
+    // Every audit table write is independent of the others → submit them
+    // all CONCURRENTLY (Spark's scheduler is thread-safe and interleaves
+    // jobs from multiple submitter threads). Serially, each small write
+    // pays its own task-launch + file-commit latency — measured as a ~10 s
+    // fixed block at 32 cores on 64M rows; overlapped, the block shrinks to
+    // roughly the slowest single write. Durability is unchanged: manifest
+    // COMMITS below happen strictly after ALL writes have finished, in
+    // order, verdicts last (the atomic commit point per batch).
+    val allWrites: Seq[(String, DataFrame)] =
+      allViolations.map { case (name, df) => s"violations_$name" -> df } ++ Seq(
+        "repo_metrics" -> repoMetrics,
+        "sketches" -> sketchRows.toDF("batch_id", "rows", "hll_key", "hll_repo", "tdigest_len"),
+        // artifacts snapshot: what a resumed run loads instead of
+        // re-scanning the baseline partition
+        "artifacts" -> pending.map(b => toRow(arts(b))).toDF(),
+        "verdicts" -> out.toSeq.toDF(),
+        "lineage" -> lineageRows.toDF())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, allWrites.size))
+    try {
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val fs = allWrites.map { case (table, df) =>
+        scala.concurrent.Future(io.writeAllPartitions(df, table))(ec)
+      }
+      import scala.concurrent.duration.Duration
+      fs.foreach(f => scala.concurrent.Await.result(f, Duration.Inf))
+    } finally pool.shutdown()
+    dupViol.unpersist()
+    refViol.unpersist()
     pending.foreach { b =>
       val a = arts(b)
       allViolations.foreach { case (name, _) => io.commit(s"violations_$name", b, s"""{"batch_id":$b}""") }
