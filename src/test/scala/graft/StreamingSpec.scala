@@ -118,6 +118,27 @@ class StreamingSpec extends GraftSpec {
     assert(fires == Seq(("a", 60L, 6L), ("b", 50L, 6L)))
   }
 
+  test("T5 trigger cadence/backpressure: file source rate-limited to one file per micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, s"t$i")).toDF("id", "s").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val stream = spark.readStream.schema("id BIGINT, s STRING")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val qname = s"rate_${System.nanoTime()}"
+    val q = stream.writeStream.outputMode("append").format("memory").queryName(qname)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query must drain and stop")
+      assert(spark.table(qname).count() == 3)
+      // backpressure analog: the 3 input files must arrive in >= 3 rate-
+      // limited micro-batches, not one big batch
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        s"expected >=3 micro-batches, got ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+    } finally q.stop()
+  }
+
   test("tumbling 5-minute window aggregate matches manual bucketing (DESIGN.md:283-291)") {
     val sfDir = "/root/testdata/sf0.001"
     val e = graft.core.Tables.events(spark, sfDir)
