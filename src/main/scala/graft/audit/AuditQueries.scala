@@ -29,6 +29,22 @@ object AuditQueries {
         sum("rows").as("total_rows"))
     }
 
+  /** Sketched two-sample KS between any two COMMITTED batches, straight
+    * from the audited t-digest bytes — no re-scan of either partition.
+    * This is how drift questions about historical batches are answered
+    * after the data may already be gone.
+    */
+  def ksBetweenBatches(spark: SparkSession, io: TableIO,
+                       b1: Long, b2: Long): Option[graft.drift.KsTest.KsResult] =
+    io.readCommitted(spark, "sketches").flatMap { df =>
+      val rows = df.where(col("batch_id").isin(b1, b2))
+        .select(col("batch_id").cast("bigint"), col("tdigest_len")).collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      for (x <- rows.get(b1); y <- rows.get(b2))
+        yield graft.drift.KsTest.ksStatisticSketched(
+          Sketches.heapify(x), Sketches.heapify(y))
+    }
+
   /** Global content-length quantiles by merging committed t-digest bytes
     * driver-side (rows are O(#batches) — tiny).
     */

@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   ValidateMain <auditDir> [--rows N] [--batches B] [--input <parquetPath>]
+  *                [--baseline B]   (re-point the reference batch — T8)
   */
 object ValidateMain {
   def main(args: Array[String]): Unit = {
@@ -23,6 +24,7 @@ object ValidateMain {
       args.sliding(2).collectFirst { case Array(`name`, v) => v }
     val rows = opt("--rows").map(_.toLong).getOrElse(100000L)
     val batches = opt("--batches").map(_.toInt).getOrElse(4)
+    val baseline = opt("--baseline").map(_.toLong).getOrElse(0L) // T8: re-point the reference
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -42,7 +44,7 @@ object ValidateMain {
     val io = new ParquetTableIO(auditDir)
 
     val t0 = System.nanoTime()
-    val verdicts = SuiteRunner.run(spark, code, dim, io)
+    val verdicts = SuiteRunner.run(spark, code, dim, io, baselineBatch = baseline)
     val secs = (System.nanoTime() - t0) / 1e9
 
     if (verdicts.isEmpty) {

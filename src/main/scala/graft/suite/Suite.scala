@@ -237,26 +237,34 @@ object SuiteRunner {
     // inputs (10^6+ distinct lengths on real code), so above the cap the
     // driver never sees per-length counts and the drift verdicts fall back
     // to the t-digest bytes already aggregated in job 1.
-    val cross = slim.groupBy("batch_id", "lang", "len").count().persist()
-    val langCounts = cross.groupBy("batch_id", "lang")
-      .agg(sum("count").as("count")).collect()
-      .groupBy(_.getAs[Long]("batch_id"))
-      .map { case (b, rows) =>
-        b -> rows.map(r => Option(r.getAs[String]("lang")).getOrElse("") ->
-          r.getAs[Long]("count")).toMap
-      }
+    val cross = slim.groupBy("batch_id", "lang", "len").count()
     val maxLenCard = scalars.valuesIterator
       .map(_.getAs[Long]("len_card")).maxOption.getOrElse(0L)
-    val lenCounts: Map[Long, Seq[(Long, Long)]] =
-      if (maxLenCard > lenCardCap) Map.empty
-      else cross.groupBy("batch_id", "len").agg(sum("count").as("count")).collect()
-        .groupBy(_.getAs[Long]("batch_id"))
-        .map { case (b, rows) =>
-          b -> rows.map(r => r.getAs[Long]("len") -> r.getAs[Long]("count"))
-            .toSeq.sortBy(_._1)
-        }
-    cross.unpersist()
+    // both marginals come back in ONE union query / ONE driver action
+    // (every extra action pays its own planning + scheduling latency —
+    // a measured fixed cost that caps small-input scaling)
+    val langMarginal = cross.groupBy("batch_id", "lang").agg(sum("count").as("n"))
+      .select(lit("lang").as("kind"), col("batch_id"),
+        coalesce(col("lang"), lit("")).as("k"), lit(-1L).as("len"), col("n"))
+    val lenMarginal = cross.groupBy("batch_id", "len").agg(sum("count").as("n"))
+      .select(lit("len").as("kind"), col("batch_id"),
+        lit("").as("k"), col("len"), col("n"))
+    val marginals =
+      (if (maxLenCard > lenCardCap) langMarginal
+       else langMarginal.unionByName(lenMarginal)).collect()
     slim.unpersist()
+    val langCounts = marginals.filter(_.getString(0) == "lang")
+      .groupBy(_.getAs[Long]("batch_id"))
+      .map { case (b, rows) =>
+        b -> rows.map(r => r.getString(2) -> r.getAs[Long]("n")).toMap
+      }
+    val lenCounts: Map[Long, Seq[(Long, Long)]] = marginals
+      .filter(_.getString(0) == "len")
+      .groupBy(_.getAs[Long]("batch_id"))
+      .map { case (b, rows) =>
+        b -> rows.map(r => r.getAs[Long]("len") -> r.getAs[Long]("n"))
+          .toSeq.sortBy(_._1)
+      }
 
     batches.flatMap { b =>
       scalars.get(b).map { r =>
@@ -371,9 +379,6 @@ object SuiteRunner {
       .groupBy("batch_id", "repo", "path", "commit")
       .agg(count(lit(1)).as("dup_count")).where(col("dup_count") > 1)
       .persist()
-    val dupCounts = dupViol.groupBy("batch_id")
-      .agg(sum(col("dup_count") - 1).as("n")).collect()
-      .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("n")).toMap
     val dupSample = dupViol.withColumn("rn", row_number().over(keyW))
       .where(col("rn") <= ViolationCap).drop("rn")
 
@@ -383,8 +388,17 @@ object SuiteRunner {
       .join(broadcast(repoLangDim.select("repo", "lang").distinct()), Seq("repo", "lang"), "left_anti")
       .groupBy("batch_id", "repo", "lang")
       .agg(count(lit(1)).as("violation_count")).persist()
-    val refCounts = refViol.groupBy("batch_id")
-      .agg(sum("violation_count").as("n")).collect()
+
+    // one union action collects BOTH violation-count maps and materializes
+    // both persisted tables' stages concurrently
+    val violCountRows = dupViol.groupBy("batch_id")
+      .agg(sum(col("dup_count") - 1).as("n")).withColumn("kind", lit("dup"))
+      .unionByName(refViol.groupBy("batch_id")
+        .agg(sum("violation_count").as("n")).withColumn("kind", lit("ref")))
+      .collect()
+    val dupCounts = violCountRows.filter(_.getString(2) == "dup")
+      .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("n")).toMap
+    val refCounts = violCountRows.filter(_.getString(2) == "ref")
       .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("n")).toMap
     val refSample = refViol
       .withColumn("rn", row_number().over(Window.partitionBy(col("batch_id"))

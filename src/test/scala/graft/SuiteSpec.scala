@@ -104,6 +104,20 @@ class SuiteSpec extends GraftSpec {
     } finally rmdir(root)
   }
 
+  test("audit-only drift: sketched KS between committed batches flags the drifted one") {
+    val root = tempDir()
+    try {
+      val io = new ParquetTableIO(root)
+      SuiteRunner.run(spark, code, dim, io)
+      val undrifted = graft.audit.AuditQueries.ksBetweenBatches(spark, io, 0L, 1L).get
+      val drifted = graft.audit.AuditQueries.ksBetweenBatches(spark, io, 0L, 3L).get
+      assert(drifted.statistic > undrifted.statistic)
+      assert(drifted.pValue < 0.05, s"drifted batch must flag: $drifted")
+      assert(undrifted.pValue >= 0.05, s"undrifted batch must not: $undrifted")
+      assert(graft.audit.AuditQueries.ksBetweenBatches(spark, io, 0L, 99L).isEmpty)
+    } finally rmdir(root)
+  }
+
   test("suite's salted repo_metrics equal plain groupBy counts and rank the mega-repo first") {
     val root = tempDir()
     try {
