@@ -68,6 +68,18 @@ object Multimodal {
       }
   }
 
+  /** Resize PLANNING (the metadata half of a resize stage — real Spark
+    * arithmetic, codegen'd): target dimensions bounded by `maxDim` with
+    * aspect ratio preserved, never upscaled. The pixel resampling itself
+    * belongs behind the decoder seam like every other byte-level op.
+    */
+  def resizePlan(df: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(lit(1.0), lit(maxDim.toDouble) /
+      greatest(col("width"), col("height")).cast("double"))
+    df.withColumn("out_w", greatest(lit(1), round(col("width") * scale).cast("int")))
+      .withColumn("out_h", greatest(lit(1), round(col("height") * scale).cast("int")))
+  }
+
   /** Deterministic synthetic media table (binary payloads derived from ids)
     * for tests/benches — no external data.
     */
