@@ -2,21 +2,32 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.tableio.ParquetTableIO
+
+/** Suite-only wall-clock profile: N timed full runs (first run = JIT warm-up,
+  * excluded) over SPARK_GRAFT_INPUT at SPARK_GRAFT_CPUS. Prints min/median.
+  */
 object ProfileSuite {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val input = sys.env.getOrElse("SPARK_GRAFT_INPUT", "/tmp/graft_bench_input_8000000")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "3").toInt
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val code = spark.read.parquet("/tmp/graft_bench_input_8000000")
+    val code = spark.read.parquet(input)
     val dim = graft.gen.CodeTableGen.repoLangDim(spark)
-    (1 to 3).foreach { i =>
-      val io = new ParquetTableIO(java.nio.file.Files.createTempDirectory(s"prof$i").toString)
+    def once(): Double = {
+      val io = new ParquetTableIO(java.nio.file.Files.createTempDirectory("prof").toString)
       val t0 = System.nanoTime()
       graft.suite.SuiteRunner.run(spark, code, dim, io)
-      println(f"[prof] run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      (System.nanoTime() - t0) / 1e9
     }
+    once() // warm-up (JIT of generated code)
+    val ts = (1 to runs).map(_ => once()).sorted
+    println(String.format(java.util.Locale.ROOT,
+      """{"cpus":%s,"input":"%s","runs":%d,"min":%.3f,"median":%.3f}""",
+      cpus, input, Int.box(runs), Double.box(ts.head), Double.box(ts(ts.length / 2))))
     spark.stop()
   }
 }
