@@ -37,15 +37,20 @@ object KsTest {
 
   private val Buckets = 32
 
-  /** Melt `valueCols` to (name, v, c1, c2) distinct-value counts. */
+  /** Melt `valueCols` to (cid, v, c1, c2) distinct-value counts — columns
+    * are identified by their INDEX in `valueCols` so the melt shuffle
+    * carries a 4-byte id instead of a repeated column-name string.
+    */
   private def distinctCounts(df: DataFrame, valueCols: Seq[String], isBaseline: Column): DataFrame = {
-    val structs = valueCols.map(c => struct(lit(c).as("name"), col(c).cast("double").as("v")))
+    val structs = valueCols.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cid"), col(c).cast("double").as("v"))
+    }
     df.select(explode(array(structs: _*)).as("nv"),
         when(isBaseline, 1L).otherwise(0L).as("s1"),
         when(isBaseline, 0L).otherwise(1L).as("s2"))
-      .select(col("nv.name").as("name"), col("nv.v").as("v"), col("s1"), col("s2"))
+      .select(col("nv.cid").as("cid"), col("nv.v").as("v"), col("s1"), col("s2"))
       .where(col("v").isNotNull && !isnan(col("v")))
-      .groupBy("name", "v")
+      .groupBy("cid", "v")
       .agg(sum("s1").as("c1"), sum("s2").as("c2"))
   }
 
@@ -65,19 +70,22 @@ object KsTest {
     val spark = counts.sparkSession
     import spark.implicits._
 
-    // (a) range boundaries per column, equi-depth over DISTINCT values
+    // (a) range boundaries per column, equi-depth over DISTINCT values.
+    // Boundary PRECISION is irrelevant to correctness — boundaries only
+    // balance the window partitions — so a coarse sketch (accuracy 1000)
+    // keeps this job cheap at any cardinality.
     val qs = (1 until buckets).map(_.toDouble / buckets)
-    val boundRows = counts.groupBy("name")
-      .agg(percentile_approx(col("v"), typedlit(qs), lit(10000)).as("bs"))
+    val boundRows = counts.groupBy("cid")
+      .agg(percentile_approx(col("v"), typedlit(qs), lit(1000)).as("bs"))
       .collect()
-    val bounds = boundRows.map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toSeq
+    val bounds = boundRows.map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
     if (bounds.isEmpty) {
-      return Seq.empty[(String, Double, Long, Long)].toDF("name", "num", "n1", "n2")
-        .select(col("name"), col("num"), col("n1").cast("long"), col("n2").cast("long"))
+      return Seq.empty[(Int, Double, Long, Long)].toDF("cid", "num", "n1", "n2")
+        .select(col("cid"), col("num"), col("n1").cast("long"), col("n2").cast("long"))
     }
-    val boundsDf = bounds.toDF("name", "bs")
+    val boundsDf = bounds.toDF("cid", "bs")
     // bucket = number of boundaries strictly below v
-    val withB = counts.join(broadcast(boundsDf), Seq("name"))
+    val withB = counts.join(broadcast(boundsDf), Seq("cid"))
       .withColumn("bucket",
         aggregate(col("bs"), lit(0), (acc, b) => acc + when(col("v") > b, 1).otherwise(0)))
       .drop("bs")
@@ -85,25 +93,25 @@ object KsTest {
     // (b) per-bucket totals → cumulative offsets + grand totals via TINY
     // windows over ≤ buckets rows per column (partitioned by column — never
     // a bare window); stays in the same job as (c), no extra driver action
-    val wOff = Window.partitionBy("name").orderBy("bucket")
+    val wOff = Window.partitionBy("cid").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy("name")
+    val wAll = Window.partitionBy("cid")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offsetsDf = withB.groupBy("name", "bucket")
+    val offsetsDf = withB.groupBy("cid", "bucket")
       .agg(sum("c1").as("t1"), sum("c2").as("t2"))
-      .select(col("name"), col("bucket"),
+      .select(col("cid"), col("bucket"),
         (sum("t1").over(wOff) - col("t1")).as("off1"),
         (sum("t2").over(wOff) - col("t2")).as("off2"),
         sum("t1").over(wAll).as("n1"),
         sum("t2").over(wAll).as("n2"))
 
     // (c) within-bucket running sums + offsets; max gap per column
-    val w = Window.partitionBy("name", "bucket").orderBy("v")
+    val w = Window.partitionBy("cid", "bucket").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val out = withB.join(broadcast(offsetsDf), Seq("name", "bucket"))
+    val out = withB.join(broadcast(offsetsDf), Seq("cid", "bucket"))
       .withColumn("cum1", (sum("c1").over(w) + col("off1")).cast("double"))
       .withColumn("cum2", (sum("c2").over(w) + col("off2")).cast("double"))
-      .groupBy("name")
+      .groupBy("cid")
       .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("num"),
         max("n1").as("n1"), max("n2").as("n2"))
     out
@@ -120,10 +128,10 @@ object KsTest {
     val rows =
       try ksMaxGapFromCounts(counts, buckets).collect()
       finally counts.unpersist()
-    val byName = rows.map(r => r.getString(0) ->
+    val byCid = rows.map(r => r.getInt(0) ->
       ((if (r.isNullAt(1)) 0.0 else r.getDouble(1)), r.getLong(2), r.getLong(3))).toMap
-    valueCols.map { c =>
-      byName.get(c) match {
+    valueCols.zipWithIndex.map { case (c, i) =>
+      byCid.get(i) match {
         case Some((num, n1, n2)) if n1 > 0 && n2 > 0 =>
           val d = num / (n1.toDouble * n2.toDouble)
           c -> KsResult(d, DriftMath.ksPValue(d, n1, n2), n1, n2)

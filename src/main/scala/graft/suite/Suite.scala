@@ -373,8 +373,12 @@ object SuiteRunner {
     val candHashes = pendingCode
       .groupBy(col("batch_id"), keyHash.as("kh")).agg(count(lit(1)).as("c"))
       .where(col("c") > 1).select("batch_id", "kh")
+    // no broadcast HINT here: the candidate set's size is data-dependent
+    // (normally tiny → AQE broadcasts it at runtime; adversarially
+    // duplicate-heavy input → AQE falls back to a shuffle join instead of
+    // blowing the broadcast limit)
     val dupViol = pendingCode
-      .join(broadcast(candHashes),
+      .join(candHashes,
         pendingCode("batch_id") === candHashes("batch_id") && keyHash === col("kh"), "left_semi")
       .groupBy("batch_id", "repo", "path", "commit")
       .agg(count(lit(1)).as("dup_count")).where(col("dup_count") > 1)
