@@ -353,6 +353,39 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // SELF-VALIDATING recall rows for the three LSH pair pipelines: the 50
+    // injected near-dup pairs (id, id+100000) are ground truth; the pair
+    // queries above keep emitting the raw pairs (rows-only), these emit the
+    // oracle-checkable verdicts. Thresholds sit under the measured recalls
+    // (minhash 1.0, simhash 0.74-0.78 — hamming ≤3 legitimately misses
+    // word-drops that flip >3 bits; embedding ~1.0 at cosine 0.999).
+    "q_minhash_recall" -> ((s, dir) => {
+      import s.implicits._
+      val hits = Dedup.minhashLshPairs(nearDupCorpus(s, dir), "doc_id", "text", threshold = 0.5)
+        .where(col("id2") === col("id1") + 100000 && col("id1") < 50).count()
+      Seq((hits / 50.0 >= 0.9, 50L)).toDF("recall_ok", "injected")
+    }),
+
+    "q_simhash_recall" -> ((s, dir) => {
+      import s.implicits._
+      val hits = Dedup.simhashPairs(nearDupCorpus(s, dir), "doc_id", "text", maxDist = 3)
+        .where(col("id2") === col("id1") + 100000 && col("id1") < 50).count()
+      Seq((hits / 50.0 >= 0.6, 50L)).toDF("recall_ok", "injected")
+    }),
+
+    "q_embedding_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val dups = e.where(col("vec_id") < 20).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+      val hits = Dedup.embeddingPairs(e.unionByName(dups), "vec_id", "embedding",
+          threshold = 0.9, bits = 8, tables = 4)
+        .where(col("id2") === col("id1") + 100000 && col("id1") < 20).count()
+      Seq((hits / 20.0 >= 0.9, 20L)).toDF("recall_ok", "injected")
+    }),
+
     // ===== similarity search =====
 
     // brute-force cosine top-k (exact baseline) — double-precision cosine on
@@ -881,6 +914,15 @@ object SparkEntry {
 
     "q_ann_lsh" ->
       "SELECT true AS recall_ok, CAST(20 AS BIGINT) AS n_queries",
+
+    "q_minhash_recall" ->
+      "SELECT true AS recall_ok, CAST(50 AS BIGINT) AS injected",
+
+    "q_simhash_recall" ->
+      "SELECT true AS recall_ok, CAST(50 AS BIGINT) AS injected",
+
+    "q_embedding_recall" ->
+      "SELECT true AS recall_ok, CAST(20 AS BIGINT) AS injected",
 
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
