@@ -32,7 +32,7 @@ case class Lineage(
     wall_ms: Long)
 
 object SuiteConfig {
-  val SuiteVersion = "graft-0.1"
+  val SuiteVersion = "graft-0.2"
   val KsThreshold = 0.05      // DESIGN.md:534
   val PsiThreshold = 0.2
   val ChiSqThreshold = 0.05
