@@ -17,9 +17,10 @@ object Bench {
   // representative per-operator queries also timed (one run each)
   private val Headline = Seq(
     "q_agg_pricing_summary", "q_stats_onepass", "q_ks_statistic", "q_psi",
-    "q_count_window_drift", "q_join_enrich", "q_dedup_exact",
-    "q_minhash_pairs", "q_simhash_pairs", "q_ann_bruteforce", "q_token_stats",
-    "q_langid", "q_time_window_agg")
+    "q_count_window_drift", "q_growing_window_drift", "q_join_enrich",
+    "q_dedup_exact", "q_minhash_pairs", "q_simhash_pairs", "q_ann_bruteforce",
+    "q_token_stats", "q_langid", "q_time_window_agg", "q_news_pipeline",
+    "q_drift_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
