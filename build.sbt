@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach the real stdout RAW (no "[info] " prefix):
+// the bench driver parses the final JSON line from stdout, and sbt's
+// LoggedOutput wrapper defeated that parse two rounds running. Also drop
+// the trailing "[success] Total time..." banner so the bench JSON is the
+// genuinely LAST stdout line of `sbt -batch "runMain graft.Bench"`.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

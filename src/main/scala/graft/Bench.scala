@@ -71,11 +71,18 @@ object Bench {
     val suiteMedian = runs(runs.length / 2)
     val filesPerSec = suiteRows / suiteMedian
 
-    // ---- per-operator queries ----
+    // ---- per-operator queries: COLD then WARM ----
+    // the warm repeat separates JIT/codegen/page-cache noise from plan
+    // regressions: a cold spike with a flat warm number is load noise, a
+    // raised warm number is a real plan cost
     val qTimes = Headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        name -> (try time(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
-        catch { case _: Throwable => -1.0 })
+      SparkEntry.queries.get(name).toSeq.flatMap { fn =>
+        def once(): Double =
+          try time(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+          catch { case _: Throwable => -1.0 }
+        val cold = once()
+        val warm = once()
+        Seq(name -> cold, s"${name}_warm" -> warm)
       }
     }
 
@@ -83,7 +90,10 @@ object Bench {
     // default locale and can emit comma decimal separators → invalid JSON
     def num(v: Double, prec: Int = 3): String =
       String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
-    val qs = (qTimes ++ Seq("suite_sec" -> suiteMedian, "suite_sec_min" -> suiteMin,
+    // one stat per key: suite_sec_min (best case) + suite_sec_median
+    // (typical); the ambiguous bare "suite_sec" key is gone so cross-round
+    // comparisons can't silently mix statistics
+    val qs = (qTimes ++ Seq("suite_sec_min" -> suiteMin,
       "suite_sec_median" -> suiteMedian, "suite_rows" -> suiteRows.toDouble))
       .map { case (k, v) => s""""$k":${num(v)}""" }.mkString("{", ",", "}")
     val json = s"""{"metric":"validated files/sec","value":${num(filesPerSec, 1)},"unit":"files/sec","queries":$qs,"sf":"$sfDir","cpus":$cpus}"""

@@ -548,7 +548,11 @@ object SparkEntry {
       one(s, Seq("mean_shift"), Seq(math.rint(shift * 1e6) / 1e6))
     }),
 
-    // A9+A11 full drift report with p-values and rollup (no oracle: p-values)
+    // A9+A11 full drift report with p-values and rollup. DuckDB-oracled
+    // END-TO-END: the KS p-value is the asymptotic Kolmogorov survival
+    // function (a published closed form, FIXTURES.md §3) evaluated in SQL
+    // with the same k ≤ 100 series truncation, and the chi-square p-value
+    // at dof=2 reduces to exp(−χ²/2)
     "q_drift_report" -> ((s, dir) => {
       import s.implicits._
       val li = Tables.lineitem(s, dir)
@@ -593,6 +597,27 @@ object SparkEntry {
         .orderBy("batch_id", "check", "column")
     }),
 
+    // The INTEGER verdict columns of the suite (uniqueness / referential /
+    // completeness / sha256 violation counts + pass flags), DuckDB-oracled:
+    // the exact engine input is written to parquet first and the oracle
+    // recomputes every count from that same file. The p-valued drift rows
+    // stay in q_code_suite (rows-only).
+    "q_suite_counts" -> ((s, dir) => {
+      val rows = if (dir.contains("0.001")) 20000L else 100000L
+      val inputPath = s"/tmp/graft_oracle/suite_input_$rows"
+      graft.gen.CodeTableGen.generate(s, rows, batches = 4)
+        .write.mode("overwrite").parquet(inputPath)
+      val dim = graft.gen.CodeTableGen.repoLangDim(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q_suite_counts").toString
+      val verdicts = graft.suite.SuiteRunner.run(s, s.read.parquet(inputPath), dim,
+        new graft.tableio.ParquetTableIO(tmp))
+      import s.implicits._
+      val countChecks = Set("uniqueness", "referential", "completeness", "sha256_invariant")
+      verdicts.filter(v => countChecks.contains(v.check)).toDF()
+        .select(col("batch_id"), col("check"), col("violation_count"), col("passed"))
+        .orderBy("batch_id", "check")
+    }),
+
     // multimodal feature plumbing (stub decode — no oracle)
     "q_multimodal_features" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.syntheticMedia(s, 1000)
@@ -600,6 +625,27 @@ object SparkEntry {
         .select(col("media_id"), col("modality"),
           r(element_at(col("feature"), 1), 4).as("f0"), col("n_frames"))
         .orderBy("media_id")
+    }),
+
+    // multimodal plumbing invariants, SELF-VALIDATING (constant-true
+    // oracle): row conservation through the size-salted repartition +
+    // mapPartitions, fixed feature width, ≥1 sampled frame, and decode
+    // determinism across two independent runs
+    "q_multimodal_check" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.multimodal.Multimodal.syntheticMedia(s, 1000)
+      val f1 = graft.multimodal.Multimodal.extractFeatures(media, dim = 8).toDF()
+      val f2 = graft.multimodal.Multimodal.extractFeatures(media, dim = 8).toDF()
+      val st = f1.agg(
+        count(lit(1)).as("n"),
+        sum(when(size(col("feature")) === 8, 0L).otherwise(1L)).as("bad_len"),
+        sum(when(col("n_frames") >= 1, 0L).otherwise(1L)).as("bad_frames")).collect()(0)
+      val mismatch = f1.select(col("media_id"), col("feature").as("fa"))
+        .join(f2.select(col("media_id"), col("feature").as("fb")), "media_id")
+        .where(not(col("fa") === col("fb"))).count()
+      Seq((st.getLong(0) == 1000L, st.getLong(1) == 0L,
+        st.getLong(2) == 0L, mismatch == 0L))
+        .toDF("rows_ok", "len_ok", "frames_ok", "deterministic")
     }))
 
   // ------------------------------------------------------------ oracle SQL
@@ -1025,5 +1071,127 @@ object SparkEntry {
                   avg(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01' THEN l_extendedprice END) m2
            FROM lineitem)
          SELECT round(CASE WHEN s1 = 0 OR s1 IS NULL THEN 0 ELSE abs(m1 - m2) / s1 END, 6) AS mean_shift
-         FROM s""")
+         FROM s""",
+
+    // full drift report INCLUDING p-values: KS p is the asymptotic
+    // Kolmogorov SF 2·Σ(−1)^{k−1}e^{−2k²λ²}, λ = √(n1·n2/(n1+n2))·D,
+    // truncated at k=100 exactly like DriftMath.kolmogorovSF; chi-square p
+    // at dof=2 is exp(−χ²/2) (regularized upper gamma Q(1, x) closed form)
+    "q_drift_report" ->
+      """WITH clean AS (
+           SELECT l_quantity AS q, l_extendedprice AS p, l_discount AS dc,
+                  l_returnflag AS rf,
+                  CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS s1
+           FROM lineitem),
+         kq AS (SELECT q AS v, sum(s1) c1, sum(1 - s1) c2 FROM clean GROUP BY 1),
+         kqc AS (SELECT CAST(sum(c1) OVER (ORDER BY v) AS DOUBLE) cum1,
+                        CAST(sum(c2) OVER (ORDER BY v) AS DOUBLE) cum2,
+                        CAST(sum(c1) OVER () AS DOUBLE) n1,
+                        CAST(sum(c2) OVER () AS DOUBLE) n2 FROM kq),
+         ksq AS (SELECT max(abs(cum1 * n2 - cum2 * n1)) / (max(n1) * max(n2)) AS d,
+                        max(n1) AS n1, max(n2) AS n2 FROM kqc),
+         kp AS (SELECT p AS v, sum(s1) c1, sum(1 - s1) c2 FROM clean GROUP BY 1),
+         kpc AS (SELECT CAST(sum(c1) OVER (ORDER BY v) AS DOUBLE) cum1,
+                        CAST(sum(c2) OVER (ORDER BY v) AS DOUBLE) cum2,
+                        CAST(sum(c1) OVER () AS DOUBLE) n1,
+                        CAST(sum(c2) OVER () AS DOUBLE) n2 FROM kp),
+         ksp AS (SELECT max(abs(cum1 * n2 - cum2 * n1)) / (max(n1) * max(n2)) AS d,
+                        max(n1) AS n1, max(n2) AS n2 FROM kpc),
+         kd AS (SELECT dc AS v, sum(s1) c1, sum(1 - s1) c2 FROM clean GROUP BY 1),
+         kdc AS (SELECT CAST(sum(c1) OVER (ORDER BY v) AS DOUBLE) cum1,
+                        CAST(sum(c2) OVER (ORDER BY v) AS DOUBLE) cum2,
+                        CAST(sum(c1) OVER () AS DOUBLE) n1,
+                        CAST(sum(c2) OVER () AS DOUBLE) n2 FROM kd),
+         ksd AS (SELECT max(abs(cum1 * n2 - cum2 * n1)) / (max(n1) * max(n2)) AS d,
+                        max(n1) AS n1, max(n2) AS n2 FROM kdc),
+         m AS (SELECT
+           avg(CASE WHEN s1 = 1 THEN q END) mq1, stddev_samp(CASE WHEN s1 = 1 THEN q END) sq1,
+           avg(CASE WHEN s1 = 0 THEN q END) mq2,
+           avg(CASE WHEN s1 = 1 THEN p END) mp1, stddev_samp(CASE WHEN s1 = 1 THEN p END) sp1,
+           avg(CASE WHEN s1 = 0 THEN p END) mp2,
+           avg(CASE WHEN s1 = 1 THEN dc END) md1, stddev_samp(CASE WHEN s1 = 1 THEN dc END) sd1,
+           avg(CASE WHEN s1 = 0 THEN dc END) md2
+           FROM clean),
+         cc AS (SELECT rf, sum(s1) c1, sum(1 - s1) c2 FROM clean WHERE rf IS NOT NULL GROUP BY 1),
+         cb AS (SELECT * FROM cc WHERE c1 > 0),
+         ct AS (SELECT sum(c1)::DOUBLE n1, sum(c2)::DOUBLE n2cov FROM cb),
+         chi AS (SELECT sum(pow(c2 - c1 / n1 * n2cov, 2) / (c1 / n1 * n2cov)) AS stat FROM cb, ct),
+         nn AS (SELECT CAST(sum(s1) AS BIGINT) AS nref,
+                       CAST(sum(1 - s1) AS BIGINT) AS ncur FROM clean),
+         ks AS (SELECT 'l_quantity' AS colname, d, n1, n2 FROM ksq
+                UNION ALL SELECT 'l_extendedprice', d, n1, n2 FROM ksp
+                UNION ALL SELECT 'l_discount', d, n1, n2 FROM ksd),
+         ksv AS (SELECT colname, d,
+                        least(1.0, greatest(0.0, list_sum(list_transform(range(1, 101),
+                          k -> 2.0 * (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                               * exp(-2.0 * k * k
+                                     * (sqrt(n1 * n2 / (n1 + n2)) * d)
+                                     * (sqrt(n1 * n2 / (n1 + n2)) * d)))))) AS pv,
+                        CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+                 FROM ks)
+         SELECT * FROM (
+           SELECT colname AS "column", 'ks' AS test,
+                  round(d, 6) AS statistic, round(pv, 6) AS p_value,
+                  pv < 0.05 AS drift_detected,
+                  round(CASE colname
+                    WHEN 'l_quantity' THEN
+                      CASE WHEN sq1 IS NULL OR sq1 = 0 THEN 0 ELSE abs(mq1 - mq2) / sq1 END
+                    WHEN 'l_extendedprice' THEN
+                      CASE WHEN sp1 IS NULL OR sp1 = 0 THEN 0 ELSE abs(mp1 - mp2) / sp1 END
+                    ELSE
+                      CASE WHEN sd1 IS NULL OR sd1 = 0 THEN 0 ELSE abs(md1 - md2) / sd1 END
+                    END, 6) AS mean_difference,
+                  n1 AS n_ref, n2 AS n_cur
+           FROM ksv, m
+           UNION ALL
+           SELECT 'l_returnflag', 'chisq',
+                  round((SELECT stat FROM chi), 6),
+                  round(least(1.0, exp(-(SELECT stat FROM chi) / 2.0)), 6),
+                  least(1.0, exp(-(SELECT stat FROM chi) / 2.0)) < 0.05,
+                  0.0, (SELECT nref FROM nn), (SELECT ncur FROM nn))
+         ORDER BY "column", test""",
+
+    // suite INTEGER verdicts recomputed by DuckDB from the exact parquet
+    // input the engine validated (written by the query itself): violation
+    // counts for the four count-based checks, per batch
+    "q_suite_counts" ->
+      """WITH code AS (
+           SELECT * FROM read_parquet('/tmp/graft_oracle/suite_input_100000/*.parquet')),
+         batches AS (SELECT DISTINCT batch_id FROM code),
+         dup AS (
+           SELECT batch_id, CAST(sum(c - 1) AS BIGINT) AS n
+           FROM (SELECT batch_id, repo, path, commit, count(*) AS c
+                 FROM code GROUP BY 1, 2, 3, 4 HAVING count(*) > 1)
+           GROUP BY 1),
+         refv AS (
+           SELECT batch_id, count(*) AS n FROM code
+           WHERE lang NOT IN ('scala', 'java', 'python', 'go', 'rust', 'markdown')
+           GROUP BY 1),
+         comp AS (
+           SELECT batch_id,
+                  CAST(sum(CASE WHEN path IS NULL OR path = '' THEN 1 ELSE 0 END) AS BIGINT) AS n
+           FROM code GROUP BY 1),
+         sha AS (
+           SELECT batch_id,
+                  CAST(sum(CASE WHEN sha256(content) <> expected_sha256 THEN 1 ELSE 0 END) AS BIGINT) AS n
+           FROM code GROUP BY 1)
+         SELECT * FROM (
+           SELECT b.batch_id, 'completeness' AS "check",
+                  coalesce(c.n, 0) AS violation_count, coalesce(c.n, 0) = 0 AS passed
+           FROM batches b LEFT JOIN comp c USING (batch_id)
+           UNION ALL
+           SELECT b.batch_id, 'referential', CAST(coalesce(r.n, 0) AS BIGINT),
+                  coalesce(r.n, 0) = 0
+           FROM batches b LEFT JOIN refv r USING (batch_id)
+           UNION ALL
+           SELECT b.batch_id, 'sha256_invariant', coalesce(s.n, 0), coalesce(s.n, 0) = 0
+           FROM batches b LEFT JOIN sha s USING (batch_id)
+           UNION ALL
+           SELECT b.batch_id, 'uniqueness', coalesce(d.n, 0), coalesce(d.n, 0) = 0
+           FROM batches b LEFT JOIN dup d USING (batch_id))
+         ORDER BY batch_id, "check"""",
+
+    "q_multimodal_check" ->
+      """SELECT true AS rows_ok, true AS len_ok,
+                true AS frames_ok, true AS deterministic""")
 }

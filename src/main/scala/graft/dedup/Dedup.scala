@@ -118,18 +118,22 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
                       shingleN: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
     // band shuffle carries ONLY (band, bkey, id) — the 8·k-byte signatures
     // are re-attached to the (far smaller) deduplicated candidate set
-    // afterwards; the signature aggregation subtree is identical in all
-    // three uses, so Spark's ReuseExchange materializes it once
+    // afterwards. The signature table is referenced THREE times (bucket
+    // explode + two re-attach joins); an explicit persist pins one
+    // materialization — relying on ReuseExchange instead proved fragile
+    // under AQE (a cold run recomputed the k xxhash64 aggregations per
+    // shingle three times: 59.8 s vs 6.5 s at sf0.1).
+    val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = sigs.select(col("id"),
         posexplode(lshBandKeys(col("sig"), bands, k)).as(Seq("band", "bkey")))
     val l = buckets.select(col("band"), col("bkey"), col("id").as("id1"))
     val r = buckets.select(col("band"), col("bkey"), col("id").as("id2"))
     val cand = l.join(r, Seq("band", "bkey")).where(col("id1") < col("id2"))
       .select("id1", "id2").dropDuplicates("id1", "id2")
-    cand
+    val out = cand
       .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
       .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
       .withColumn("est_jaccard",
@@ -138,6 +142,13 @@ object Dedup {
           (acc, x) => acc + x).cast("double") / k)
       .where(col("est_jaccard") >= threshold)
       .select("id1", "id2", "est_jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (threshold-filtered, small) pair output so the sigs
+    // cache can be dropped deterministically; lineage stays intact, so an
+    // evicted output block just recomputes — no checkpoint fragility
+    out.count()
+    sigs.unpersist(blocking = false)
+    out
   }
 
   // ---------------------------------------------------------------- simhash
@@ -223,20 +234,50 @@ object Dedup {
     * buckets per table), raise `tables` to win recall back.
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double = 0.95, bits: Int = 8,
+                     threshold: Double = 0.95, bits: Int = 0,
                      tables: Int = 4): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // bits sized to the corpus unless pinned: 2^bits buckets/table ≈ n/64
+    val b = if (bits > 0) bits else autoBits(vecs.count())
     val sigs = (0 until tables).map(t =>
-      struct(lit(t).as("t"), signLshSignature(col(vecCol), bits, t).as("sig")))
-    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        explode(array(sigs: _*)).as("ts"))
-      .select(col("id"), col("v"), col("ts.t").as("t"), col("ts.sig").as("sig"))
-    val l = e.select(col("t"), col("sig"), col("id").as("id1"), col("v").as("v1"))
-    val r = e.select(col("t"), col("sig"), col("id").as("id2"), col("v").as("v2"))
-    l.join(r, Seq("t", "sig")).where(col("id1") < col("id2"))
-      .dropDuplicates("id1", "id2")
+      struct(lit(t).as("t"), signLshSignature(col("v"), b, t).as("sig")))
+    // band join carries ONLY (t, sig, id) — at 100 TB of embeddings the
+    // vectors are the payload, and shuffling them through the bucket
+    // self-join on BOTH sides × tables dwarfs everything else; they are
+    // re-attached to the (tiny) deduplicated candidate set instead. The
+    // compact (id, t, sig) table is persisted so the hyperplane dot
+    // products are computed once, not once per join side.
+    val e = vecs.select(col("id"), explode(array(sigs: _*)).as("ts"))
+      .select(col("id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = e.select(col("t"), col("sig"), col("id").as("id1"))
+    val r = e.select(col("t"), col("sig"), col("id").as("id2"))
+    val cand = l.join(r, Seq("t", "sig")).where(col("id1") < col("id2"))
+      .select("id1", "id2").dropDuplicates("id1", "id2")
+    val out = cand
+      .join(vecs.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(vecs.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
       .withColumn("cosine", cosine(col("v1"), col("v2")))
       .where(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** Sign-LSH signature width for a target mean bucket occupancy:
+    * 2^bits ≈ n / targetBucket, clamped to [minBits, maxBits]. The default
+    * bucket target (64) keeps the within-bucket candidate quadratic cost
+    * bounded while leaving enough co-occupants for recall; raise `tables`
+    * (independent hyperplane sets) to win back recall lost to narrower
+    * buckets — measured ≥0.9 at 2^16 buckets × 8 tables (AnnSpec).
+    */
+  def autoBits(n: Long, targetBucket: Int = 64, minBits: Int = 8,
+               maxBits: Int = 24): Int = {
+    val ideal = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(maxBits, math.max(minBits, ideal))
   }
 
   /** Sign-LSH signature: bit j = sign(v · r_j) where r_j is a deterministic

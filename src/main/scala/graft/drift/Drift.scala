@@ -28,6 +28,44 @@ object Drift {
   val KsThreshold = 0.05    // DESIGN.md:534
   val PsiThreshold = 0.2    // standard PSI "significant shift" convention
   val ChiSqThreshold = 0.05
+  /** Driver-side category cap: every categorical check collects at most
+    * this many categories per column (ranked by baseline count, ties broken
+    * deterministically) plus ONE aggregated tail bucket. Below the cap the
+    * result is bit-identical to the uncapped formula; above it the verdict
+    * is the capped formula's (the same LenCardCap hazard class the suite
+    * already bounds — a 10^6-distinct categorical must not OOM the driver).
+    */
+  val CatTopK = 1000
+  /** Tail-bucket label; the \u0001 prefix keeps it out of any real
+    * category's namespace.
+    */
+  val OtherBucket = "\u0001__other__"
+
+  /** Per-column category counts on both sides, capped to `topK` categories
+    * (by baseline count desc, then current count desc, then value) + one
+    * aggregated [[OtherBucket]] tail row. Top-K extraction is a sort+limit
+    * (TakeOrderedAndProject: per-partition top-K, merged on the driver —
+    * no global window, no full sort) and the tail comes from grand totals
+    * minus the top — the driver only ever sees ≤ topK+1 rows per column.
+    */
+  private def cappedCatCounts(df: DataFrame, catCol: String, isBaseline: Column,
+                              topK: Int): Array[(String, Long, Long)] = {
+    val counts = df.where(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("v")).agg(
+        sum(when(isBaseline, 1L).otherwise(0L)).as("c1"),
+        sum(when(!isBaseline, 1L).otherwise(0L)).as("c2"))
+      .persist()
+    try {
+      val top = counts.orderBy(col("c1").desc, col("c2").desc, col("v"))
+        .limit(topK).collect()
+        .map(r => (r.getString(0), r.getAs[Long]("c1"), r.getAs[Long]("c2")))
+      val tot = counts.agg(sum("c1"), sum("c2")).collect()(0)
+      val (t1, t2) = (Option(tot.getAs[Any](0)).fold(0L)(_.asInstanceOf[Long]),
+        Option(tot.getAs[Any](1)).fold(0L)(_.asInstanceOf[Long]))
+      val (o1, o2) = (t1 - top.map(_._2).sum, t2 - top.map(_._3).sum)
+      if (o1 == 0 && o2 == 0) top else top :+ ((OtherBucket, o1, o2))
+    } finally counts.unpersist()
+  }
 
   /** |Δmean| / ref_std, 0 when ref_std == 0 or undefined (DESIGN.md:569). */
   def meanDifference(refMean: Double, refStd: Double, curMean: Double): Double =
@@ -60,19 +98,18 @@ object Drift {
   }
 
   /** PSI over a categorical column: category proportions on both sides in
-    * one pass; categories are the union of both sides.
+    * one aggregation; categories are the union of both sides, capped to the
+    * top `topK` (by baseline count) + one tail bucket ([[cappedCatCounts]])
+    * so arbitrary-cardinality categoricals stay driver-safe. Identical to
+    * the uncapped formula whenever distinct categories ≤ topK.
     */
-  def psiCategorical(df: DataFrame, catCol: String, isBaseline: Column): Double = {
-    val rows = df.where(col(catCol).isNotNull)
-      .groupBy(col(catCol)).agg(
-        sum(when(isBaseline, 1L).otherwise(0L)).as("c1"),
-        sum(when(!isBaseline, 1L).otherwise(0L)).as("c2"))
-      .collect()
-    val n1 = rows.map(_.getAs[Long]("c1")).sum.toDouble
-    val n2 = rows.map(_.getAs[Long]("c2")).sum.toDouble
+  def psiCategorical(df: DataFrame, catCol: String, isBaseline: Column,
+                     topK: Int = CatTopK): Double = {
+    val rows = cappedCatCounts(df, catCol, isBaseline, topK)
+    val n1 = rows.map(_._2).sum.toDouble
+    val n2 = rows.map(_._3).sum.toDouble
     if (n1 == 0 || n2 == 0) return 0.0
-    DriftMath.psi(rows.map(_.getAs[Long]("c1") / n1).toSeq,
-      rows.map(_.getAs[Long]("c2") / n2).toSeq)
+    DriftMath.psi(rows.map(_._2 / n1).toSeq, rows.map(_._3 / n2).toSeq)
   }
 
   /** Chi-square goodness-of-fit of the CURRENT categorical frequencies
@@ -81,23 +118,12 @@ object Drift {
     * reference's skip-missing-columns convention, DESIGN.md:557-558);
     * dof = (#baseline categories − 1).
     */
-  def chiSquareCategorical(df: DataFrame, catCol: String, isBaseline: Column): (Double, Double, Long) = {
-    val rows = df.where(col(catCol).isNotNull)
-      .groupBy(col(catCol)).agg(
-        sum(when(isBaseline, 1L).otherwise(0L)).as("c1"),
-        sum(when(!isBaseline, 1L).otherwise(0L)).as("c2"))
-      .collect()
-    val base = rows.filter(_.getAs[Long]("c1") > 0)
-    val n1 = base.map(_.getAs[Long]("c1")).sum.toDouble
-    val n2cov = base.map(_.getAs[Long]("c2")).sum.toDouble
-    if (n1 == 0 || n2cov == 0 || base.length < 2) return (0.0, 1.0, 0L)
-    val stat = base.map { r =>
-      val exp = r.getAs[Long]("c1") / n1 * n2cov
-      val obs = r.getAs[Long]("c2").toDouble
-      (obs - exp) * (obs - exp) / exp
-    }.sum
-    val dof = base.length - 1L
-    (stat, DriftMath.chiSquarePValue(stat, dof), dof)
+  def chiSquareCategorical(df: DataFrame, catCol: String, isBaseline: Column,
+                           topK: Int = CatTopK): (Double, Double, Long) = {
+    val rows = cappedCatCounts(df, catCol, isBaseline, topK)
+    val ref = rows.map(r => r._1 -> r._2).toMap
+    val cur = rows.map(r => r._1 -> r._3).toMap
+    chiSqGof(ref, cur)
   }
 
   /** Full drift report over numeric columns (KS, reference DriftDetector
@@ -145,15 +171,24 @@ object Drift {
         meanDifference(s.m1, s.s1, s.m2), ks.n1, ks.n2)
     }
 
-    // job 5: every categorical column in one melted groupBy
+    // job 5: every categorical column in one melted groupBy, capped per
+    // column to the top CatTopK categories (ranked by baseline count inside
+    // a per-column window partition — never a global sort) + one aggregated
+    // tail bucket, so the collect is ≤ #cols × (CatTopK+1) rows no matter
+    // the column cardinality (same hazard class as the suite's LenCardCap)
     val catDrift: Seq[ColumnDrift] = if (catCols.isEmpty) Seq.empty else {
       val structs = catCols.map(c => struct(lit(c).as("name"), col(c).cast("string").as("v")))
+      val perCol = org.apache.spark.sql.expressions.Window.partitionBy("name")
+        .orderBy(col("c1").desc, col("c2").desc, col("v"))
       val rows = df.select(explode(array(structs: _*)).as("nv"),
           when(isBaseline, 1L).otherwise(0L).as("s1"),
           when(isBaseline, 0L).otherwise(1L).as("s2"))
         .select(col("nv.name").as("name"), col("nv.v").as("v"), col("s1"), col("s2"))
         .where(col("v").isNotNull)
         .groupBy("name", "v").agg(sum("s1").as("c1"), sum("s2").as("c2"))
+        .withColumn("vc", when(row_number().over(perCol) <= CatTopK, col("v"))
+          .otherwise(lit(OtherBucket)))
+        .groupBy("name", "vc").agg(sum("c1").as("c1"), sum("c2").as("c2"))
         .collect()
       val byName = rows.groupBy(_.getString(0))
       val nRef = numericCols.headOption.map(c => sides(c).n1).getOrElse(0L)
@@ -176,10 +211,13 @@ object Drift {
     * baseline proportions × current covered total; categories absent from
     * the baseline excluded; dof = #baseline categories − 1.
     */
-  private def chiSqGof(ref: Map[String, Long], cur: Map[String, Long]): (Double, Double, Long) = {
+  private[graft] def chiSqGof(ref: Map[String, Long], cur: Map[String, Long]): (Double, Double, Long) = {
     val base = ref.filter(_._2 > 0)
     val n1 = base.values.sum.toDouble
-    val n2cov = base.keys.map(cur.getOrElse(_, 0L)).sum.toDouble
+    // iterate the KEYS as a sequence: mapping the key SET to counts would
+    // collapse equal counts before the sum (latent bug — fired once many
+    // categories shared a count, e.g. a uniform top-K from the capped path)
+    val n2cov = base.keysIterator.map(cur.getOrElse(_, 0L)).sum.toDouble
     if (n1 == 0 || n2cov == 0 || base.size < 2) return (0.0, 1.0, 0L)
     val stat = base.map { case (k, c1) =>
       val exp = c1 / n1 * n2cov

@@ -124,6 +124,10 @@ object KsTest {
     */
   def ks2SampMulti(df: DataFrame, valueCols: Seq[String], isBaseline: Column,
                    buckets: Int = Buckets): Map[String, KsResult] = {
+    // results are keyed by column name — a duplicate would silently
+    // collapse two melt lanes into one map entry
+    require(valueCols.distinct.size == valueCols.size,
+      s"ks2SampMulti: duplicate column names in ${valueCols.mkString(", ")}")
     val counts = distinctCounts(df, valueCols, isBaseline).persist()
     val rows =
       try ksMaxGapFromCounts(counts, buckets).collect()

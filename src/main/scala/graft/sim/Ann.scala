@@ -43,19 +43,25 @@ object Ann {
     * smaller buckets (2^bits per table); raise `tables` to win recall back.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
-              idCol: String, vecCol: String, k: Int = 10, bits: Int = 8,
+              idCol: String, vecCol: String, k: Int = 10, bits: Int = 0,
               tables: Int = 4): DataFrame = {
+    val cVecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // bucket width sized to the corpus unless pinned (Dedup.autoBits)
+    val b = if (bits > 0) bits else Dedup.autoBits(cVecs.count())
+    // the bucket join carries ONLY (t, bucket, id) on the corpus side —
+    // vectors re-attach to the deduplicated candidate set afterwards, so
+    // the big side's shuffle payload is 3 longs/row × tables, not the
+    // embedding itself (same shape as Dedup.embeddingPairs/minhashLshPairs)
     val cSigs = (0 until tables).map(t =>
-      struct(lit(t).as("t"), Dedup.signLshSignature(col(vecCol), bits, t).as("bucket")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        explode(array(cSigs: _*)).as("ts"))
-      .select(col("neighbor_id"), col("cv"), col("ts.t").as("t"), col("ts.bucket").as("bucket"))
-    // multiprobe per table: own bucket + flip each of `bits` bits
+      struct(lit(t).as("t"), Dedup.signLshSignature(col("cv"), b, t).as("bucket")))
+    val c = cVecs.select(col("neighbor_id"), explode(array(cSigs: _*)).as("ts"))
+      .select(col("neighbor_id"), col("ts.t").as("t"), col("ts.bucket").as("bucket"))
+    // multiprobe per table: own bucket + flip each of `b` bits
     val qProbes = (0 until tables).map { t =>
-      val sig = Dedup.signLshSignature(col(vecCol), bits, t)
+      val sig = Dedup.signLshSignature(col(vecCol), b, t)
       val probes = array_union(
         array(sig),
-        transform(sequence(lit(0), lit(bits - 1)),
+        transform(sequence(lit(0), lit(b - 1)),
           j => sig.bitwiseXOR(call_function("shiftleft", lit(1L), j))))
       struct(lit(t).as("t"), probes.as("probes"))
     }
@@ -63,9 +69,17 @@ object Ann {
         explode(array(qProbes: _*)).as("tp"))
       .select(col("query_id"), col("qv"), col("tp.t").as("t"),
         explode(col("tp.probes")).as("bucket"))
-    val scored = q.join(c, Seq("t", "bucket"))
+    val cand = q.select(col("query_id"), col("t"), col("bucket"))
+      .join(c, Seq("t", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+    // re-attach: query vectors broadcast (the query batch is the small
+    // side by construction), corpus vectors via a hash join on the id
+    val scored = cand
+      .join(cVecs, Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))),
+        Seq("query_id"))
       .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

@@ -32,7 +32,7 @@ case class Lineage(
     wall_ms: Long)
 
 object SuiteConfig {
-  val SuiteVersion = "graft-0.2"
+  val SuiteVersion = "graft-0.3"
   val KsThreshold = 0.05      // DESIGN.md:534
   val PsiThreshold = 0.2
   val ChiSqThreshold = 0.05
@@ -199,8 +199,12 @@ object SuiteRunner {
         (col("content").isNull || col("content") === "").as("content_missing"),
         (sha2(col("content"), 256) =!= col("expected_sha256")).as("sha_mismatch"),
         col("lang"), col("repo"),
-        concat_ws("\u0000", coalesce(col("repo"), lit("")),
-          coalesce(col("path"), lit("")), coalesce(col("commit"), lit(""))).as("key3"),
+        // violation-sample key as JSON, not a delimiter join: JSON escaping
+        // makes the round-trip safe for ANY character in repo/path/commit
+        // (a NUL or control char in a path must not mis-split the triple)
+        to_json(struct(coalesce(col("repo"), lit("")).as("repo"),
+          coalesce(col("path"), lit("")).as("path"),
+          coalesce(col("commit"), lit("")).as("commit"))).as("key3"),
         xxhash64(col("repo"), col("path"), col("commit")).as("keyhash"),
         xxhash64(col("repo"), col("path"), col("commit"), col("content")).as("rowhash"))
       .persist()
@@ -413,12 +417,13 @@ object SuiteRunner {
     // job-1 artifacts scan (MinK aggregate) — no second content pass; the
     // sample table is assembled driver-side from ≤ ViolationCap keys/batch
     val shaViol = pending.flatMap { b =>
-      arts(b).shaSamples.map { s =>
-        val parts = s.split("\u0000", -1)
-        (b, parts.lift(0).getOrElse(""), parts.lift(1).getOrElse(""),
-          parts.lift(2).getOrElse(""))
-      }
-    }.toDF("batch_id", "repo", "path", "commit")
+      arts(b).shaSamples.map(s => (b, s))
+    }.toDF("batch_id", "key_json")
+      .select(col("batch_id"),
+        from_json(col("key_json"), "repo STRING, path STRING, commit STRING",
+          Map.empty[String, String]).as("k"))
+      .select(col("batch_id"), col("k.repo").as("repo"),
+        col("k.path").as("path"), col("k.commit").as("commit"))
 
     val emptyPathViol = pendingCode
       .where(col("path").isNull || col("path") === "")
@@ -519,12 +524,6 @@ object SuiteRunner {
       (b, a.rows, a.hllKey, a.hllRepo, a.tdigestLen)
     }
 
-    val wallMs = (System.nanoTime() - t0) / 1000000 / math.max(1, pending.size)
-    val lineageRows = pending.map { b =>
-      val a = arts(b)
-      Lineage(b, a.rows, a.fingerprint, SuiteVersion, baselineBatch, wallMs)
-    }
-
     // Every audit table write is independent of the others → submit them
     // all CONCURRENTLY (Spark's scheduler is thread-safe and interleaves
     // jobs from multiple submitter threads). Serially, each small write
@@ -532,7 +531,9 @@ object SuiteRunner {
     // fixed block at 32 cores on 64M rows; overlapped, the block shrinks to
     // roughly the slowest single write. Durability is unchanged: manifest
     // COMMITS below happen strictly after ALL writes have finished, in
-    // order, verdicts last (the atomic commit point per batch).
+    // order, verdicts last (the atomic commit point per batch). Lineage is
+    // NOT in this block: its wall_ms must include the write time, so it is
+    // written (tiny, serial) after the block completes.
     val allWrites: Seq[(String, DataFrame)] =
       allViolations.map { case (name, df) => s"violations_$name" -> df } ++ Seq(
         "repo_metrics" -> repoMetrics,
@@ -540,8 +541,7 @@ object SuiteRunner {
         // artifacts snapshot: what a resumed run loads instead of
         // re-scanning the baseline partition
         "artifacts" -> pending.map(b => toRow(arts(b))).toDF(),
-        "verdicts" -> out.toSeq.toDF(),
-        "lineage" -> lineageRows.toDF())
+        "verdicts" -> out.toSeq.toDF())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, allWrites.size))
     try {
       val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
@@ -550,9 +550,23 @@ object SuiteRunner {
       }
       import scala.concurrent.duration.Duration
       fs.foreach(f => scala.concurrent.Await.result(f, Duration.Inf))
-    } finally pool.shutdown()
-    dupViol.unpersist()
-    refViol.unpersist()
+    } finally {
+      // shutdownNow interrupts still-running writes when any write failed
+      // (a failed run must not keep writer threads alive); the unpersists
+      // sit in the finally so a write failure cannot leak cached blocks
+      pool.shutdownNow()
+      dupViol.unpersist()
+      refViol.unpersist()
+    }
+
+    // lineage wall_ms: whole run INCLUDING the audit writes above (even
+    // split across this run's batches — per-batch telemetry, not a timer)
+    val wallMs = (System.nanoTime() - t0) / 1000000 / math.max(1, pending.size)
+    val lineageRows = pending.map { b =>
+      val a = arts(b)
+      Lineage(b, a.rows, a.fingerprint, SuiteVersion, baselineBatch, wallMs)
+    }
+    io.writeAllPartitions(lineageRows.toDF(), "lineage")
     pending.foreach { b =>
       val a = arts(b)
       allViolations.foreach { case (name, _) => io.commit(s"violations_$name", b, s"""{"batch_id":$b}""") }

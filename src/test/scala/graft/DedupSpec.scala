@@ -100,4 +100,12 @@ class DedupSpec extends GraftSpec {
     assert(math.abs(c((1L, 2L)) - 1.0) < 1e-6)
     assert(math.abs(c((1L, 3L))) < 1e-6)
   }
+
+  test("autoBits sizes sign-LSH to the corpus: 2^bits ~ n/64, clamped to [8,24]") {
+    assert(Dedup.autoBits(100) == 8)            // floor: small corpora stay demo-scale
+    assert(Dedup.autoBits(1000000) == 14)       // 10^6/64 = 15625 -> 2^14 buckets
+    assert(Dedup.autoBits(1000000) >= 14)       // the round-3 acceptance bar
+    assert(Dedup.autoBits(1L << 40) == 24)      // ceiling: bucket key stays compact
+    // recall evidence at narrow buckets lives in AnnSpec (2^16 x 8 tables >= 0.9)
+  }
 }

@@ -1,0 +1,98 @@
+package graft
+
+import graft.drift.{Drift, DriftMath}
+import org.apache.spark.sql.functions._
+
+/** The categorical drift checks must stay driver-safe at ANY category
+  * cardinality: every consumer collects at most topK+1 rows per column
+  * (top-K by baseline count + one aggregated tail bucket). These tests pin
+  * (a) exact equality with the uncapped formula below the cap, (b) exact
+  * equality with the locally-computed CAPPED formula above it, and (c)
+  * bounded completion with a correct verdict at 10^6 distinct categories.
+  */
+class DriftCapSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val D = 20000 // distinct categories, far above the test cap
+
+  /** base: every cat once; cur: every cat once + "c0" 1000 extra times. */
+  private lazy val shifted = {
+    val base = spark.range(D).select(concat(lit("c"), col("id")).as("cat"),
+      lit(true).as("is_base"))
+    val extra = spark.range(1000).select(lit("c0").as("cat"), lit(false).as("is_base"))
+    val cur = spark.range(D).select(concat(lit("c"), col("id")).as("cat"),
+      lit(false).as("is_base"))
+    base.unionByName(cur).unionByName(extra)
+  }
+
+  /** The capped count table computed locally from the known construction:
+    * rank by (c1 desc, c2 desc, value), keep topK, aggregate the tail.
+    */
+  private def localCapped(topK: Int): Seq[(Long, Long)] = {
+    val names = (0 until D).map(i => s"c$i")
+    val counts = names.map(n => (n, 1L, if (n == "c0") 1001L else 1L))
+    val ranked = counts.sortBy { case (v, c1, c2) => (-c1, -c2, v) }
+    val top = ranked.take(topK)
+    val tail = ranked.drop(topK)
+    top.map(t => (t._2, t._3)) :+ ((tail.map(_._2).sum, tail.map(_._3).sum))
+  }
+
+  test("psiCategorical above the cap equals the locally computed capped formula") {
+    val topK = 100
+    val got = Drift.psiCategorical(shifted, "cat", col("is_base"), topK = topK)
+    val rows = localCapped(topK)
+    val n1 = rows.map(_._1).sum.toDouble
+    val n2 = rows.map(_._2).sum.toDouble
+    val want = DriftMath.psi(rows.map(_._1 / n1), rows.map(_._2 / n2))
+    assert(math.abs(got - want) < 1e-12, s"got $got want $want")
+  }
+
+  test("chiSquareCategorical above the cap equals the locally computed capped formula") {
+    val topK = 100
+    val (stat, p, dof) = Drift.chiSquareCategorical(shifted, "cat", col("is_base"), topK = topK)
+    val rows = localCapped(topK)
+    val n1 = rows.map(_._1).sum.toDouble
+    val n2cov = rows.map(_._2).sum.toDouble
+    val want = rows.map { case (c1, c2) =>
+      val e = c1 / n1 * n2cov
+      (c2 - e) * (c2 - e) / e
+    }.sum
+    // map-iteration order changes the float summation order: relative tol
+    assert(math.abs(stat - want) / want < 1e-12, s"got $stat want $want")
+    assert(dof == topK) // topK categories + tail bucket − 1
+    assert(p == DriftMath.chiSquarePValue(want, topK))
+  }
+
+  test("below the cap the capped path is bit-identical to the uncapped formula") {
+    // 6 categories — the suite's lang-like case
+    val df = spark.range(6000).select(
+      concat(lit("k"), pmod(col("id"), lit(6))).as("cat"),
+      (col("id") % 2 === 0).as("is_base"))
+    // uncapped reference computed directly from the full count table
+    val rows = df.groupBy("cat").agg(
+      sum(when(col("is_base"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("is_base"), 1L).otherwise(0L)).as("c2"))
+      .orderBy("cat").collect()
+    val n1 = rows.map(_.getLong(1)).sum.toDouble
+    val n2 = rows.map(_.getLong(2)).sum.toDouble
+    val wantPsi = DriftMath.psi(rows.map(_.getLong(1) / n1).toSeq,
+      rows.map(_.getLong(2) / n2).toSeq)
+    assert(Drift.psiCategorical(df, "cat", col("is_base")) == wantPsi)
+  }
+
+  test("Drift.detect at 10^6 distinct categories: bounded collect, no-drift verdict on identical sides") {
+    val n = 1000000L
+    // both sides carry the SAME 10^6-distinct distribution → any correct
+    // capped formula must report zero drift; the point is that this returns
+    // at all with a ≤(CatTopK+1)-row driver collect instead of 10^6 rows
+    val df = spark.range(2 * n).select(
+      concat(lit("c"), pmod(col("id"), lit(n))).as("cat"),
+      (col("id") < n).as("is_base"),
+      (col("id") % 97).cast("double").as("num"))
+    val rep = Drift.detect(df, Seq("num"), Seq("cat"), col("is_base"))
+    val chi = rep.feature_drift.find(_.test == "chisq").get
+    assert(chi.statistic == 0.0)
+    assert(chi.p_value == 1.0)
+    assert(!chi.drift_detected)
+  }
+}

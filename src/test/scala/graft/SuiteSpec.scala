@@ -207,15 +207,34 @@ class SuiteSpec extends GraftSpec {
   test("one-pass sha sample equals the two-phase ORDER BY ... LIMIT cap sample") {
     val arts = SuiteRunner.collectArtifacts(
       code.withColumn("batch_id", col("batch_id").cast("bigint")), Seq(0L))
-    val got = arts(0L).shaSamples.map(_.split("\u0000", -1).toSeq)
+    // samples are JSON key triples (NUL-safe round-trip); MinK keeps the
+    // lexicographically-least cap of exactly these strings
+    val got = arts(0L).shaSamples
     val expected = code
       .where(col("batch_id") === 0 && sha2(col("content"), 256) =!= col("expected_sha256"))
-      .select("repo", "path", "commit").distinct()
-      .orderBy("repo", "path", "commit")
+      .select(to_json(struct(col("repo"), col("path"), col("commit"))).as("j"))
+      .distinct().orderBy("j")
       .limit(graft.suite.SuiteConfig.ViolationCap)
-      .collect().map(r => Seq(r.getString(0), r.getString(1), r.getString(2))).toSeq
+      .collect().map(_.getString(0)).toSeq
     assert(got == expected)
     assert(arts(0L).shaMismatch > 0)
+  }
+
+  test("sha-sample key triple round-trips a NUL / control char in path exactly") {
+    import spark.implicits._
+    val weird = "dir\u0000a/fi\u0001le.scala" // NUL mis-split was the old failure mode
+    val df = Seq(
+      ("repo_x", weird, "c" * 40, "scala", "body", "not_the_sha", 0L),
+      ("repo_y", "ok/path.scala", "d" * 40, "scala", "body2", "also_wrong", 0L))
+      .toDF("repo", "path", "commit", "lang", "content", "expected_sha256", "batch_id")
+    val arts = SuiteRunner.collectArtifacts(df, Seq(0L))
+    val parsed = spark.createDataset(arts(0L).shaSamples).toDF("j")
+      .select(from_json(col("j"), "repo STRING, path STRING, commit STRING",
+        java.util.Map.of[String, String]).as("k"))
+      .select("k.repo", "k.path", "k.commit")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(parsed.contains(("repo_x", weird, "c" * 40)), parsed)
+    assert(parsed.contains(("repo_y", "ok/path.scala", "d" * 40)))
   }
 
   test("salted per-repo counts equal plain groupBy counts (exactness under skew)") {
