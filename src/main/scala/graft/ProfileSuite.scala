@@ -31,3 +31,25 @@ object ProfileSuite {
     spark.stop()
   }
 }
+
+/** One-shot generator for the bench/scaling input table: writes the
+  * deterministic code table at SPARK_GRAFT_SUITE_ROWS to the same layout
+  * Bench uses (partitioned by batch_id), so scaling runs at several widths
+  * share one on-disk input.
+  */
+object GenBenchInput {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_SUITE_ROWS", "8000000").toLong
+    val out = sys.env.getOrElse("SPARK_GRAFT_INPUT", s"/tmp/graft_bench_input_$rows")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+      gen.CodeTableGen.generate(spark, rows, batches = 4)
+        .write.partitionBy("batch_id").mode("overwrite").parquet(out)
+    }
+    println(s"""{"input":"$out","rows":$rows}""")
+    spark.stop()
+  }
+}

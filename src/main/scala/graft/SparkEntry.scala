@@ -603,7 +603,9 @@ object SparkEntry {
     // recomputes every count from that same file. The p-valued drift rows
     // stay in q_code_suite (rows-only).
     "q_suite_counts" -> ((s, dir) => {
-      val rows = if (dir.contains("0.001")) 20000L else 100000L
+      // FIXED input size at any sf: the oracle SQL reads this exact path,
+      // so the query and the oracle must agree on it unconditionally
+      val rows = 100000L
       val inputPath = s"/tmp/graft_oracle/suite_input_$rows"
       graft.gen.CodeTableGen.generate(s, rows, batches = 4)
         .write.mode("overwrite").parquet(inputPath)
