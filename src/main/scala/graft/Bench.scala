@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Emits ONE JSON line:
   *   {"metric":"validated files/sec", "value":<throughput>, "unit":"files/sec",
-  *    "queries":{<name>:<sec>,...,"suite_sec":...,"suite_rows":...},
+  *    "queries":{<name>:<sec>, <name>_warm:<sec>, ...,
+  *               "suite_sec_min":..., "suite_sec_median":..., "suite_rows":...},
   *    "sf":<dir>, "cpus":<n>}
   *
   * The headline metric (BASELINE.json) is suite throughput: rows of the
@@ -77,9 +78,16 @@ object Bench {
     // raised warm number is a real plan cost
     val qTimes = Headline.flatMap { name =>
       SparkEntry.queries.get(name).toSeq.flatMap { fn =>
-        def once(): Double =
+        def once(): Double = {
+          // some operators persist intermediates/outputs (minhash/embedding
+          // pairs); without this the warm run's identical plan is swapped
+          // for the cold run's still-cached InMemoryRelation and "warm"
+          // measures cache readback, not recomputation — and each timed
+          // call would leak its predecessor's cached blocks
+          spark.catalog.clearCache()
           try time(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
           catch { case _: Throwable => -1.0 }
+        }
         val cold = once()
         val warm = once()
         Seq(name -> cold, s"${name}_warm" -> warm)

@@ -45,7 +45,13 @@ object GenBenchInput {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+    // reuse is only valid if the existing data really has the requested
+    // row count — a pinned SPARK_GRAFT_INPUT with a different
+    // SPARK_GRAFT_SUITE_ROWS must regenerate, not silently measure stale
+    // data (parquet count() is footer-stats-only, cheap)
+    val exists = java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")) &&
+      spark.read.parquet(out).count() == rows
+    if (!exists) {
       gen.CodeTableGen.generate(spark, rows, batches = 4)
         .write.partitionBy("batch_id").mode("overwrite").parquet(out)
     }

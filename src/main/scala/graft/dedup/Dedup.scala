@@ -98,6 +98,12 @@ object Dedup {
     * filter ≥ `threshold`. The join key is (band index, band hash) — a
     * compact 64-bit bucket join; only (id, signature) rows shuffle, never
     * text. `idCol` must be unique; pairs are emitted once (id1 < id2).
+    *
+    * The returned DataFrame is PERSISTED (memory+disk, already
+    * materialized) so the signature cache can be dropped eagerly inside
+    * this call; long-lived sessions calling this repeatedly must
+    * `.unpersist()` each result when done with it (or
+    * `spark.catalog.clearCache()`) — Bench and Verify do exactly that.
     */
   /** Distributed minhash signatures via explode + groupBy: one row per
     * (doc, shingle), then k codegen'd `min(xxhash64(shingle, i))` aggregates
@@ -232,6 +238,10 @@ object Dedup {
     * join replaces the O(n²) cross join. Recall ≈ 1 − (1 − p^bits)^tables
     * where p = 1 − θ/π: raise `bits` for fewer candidates per bucket (2^bits
     * buckets per table), raise `tables` to win recall back.
+    *
+    * Like [[minhashLshPairs]], the returned DataFrame is PERSISTED and
+    * already materialized — callers owning a long-lived session must
+    * `.unpersist()` it when finished.
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, bits: Int = 0,

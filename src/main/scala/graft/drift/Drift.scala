@@ -40,6 +40,12 @@ object Drift {
     * category's namespace.
     */
   val OtherBucket = "\u0001__other__"
+  /** Salt fan-out for the melted top-K ranking in [[detect]]: a column with
+    * C distinct categories is ranked in parallel partitions of ≈ C/fanout
+    * rows (phase 1), then the ≤ fanout·CatTopK survivors re-rank (phase 2) —
+    * no single task ever sorts a whole column's category table.
+    */
+  val CatSaltFanout = 32
 
   /** Per-column category counts on both sides, capped to `topK` categories
     * (by baseline count desc, then current count desc, then value) + one
@@ -172,21 +178,36 @@ object Drift {
     }
 
     // job 5: every categorical column in one melted groupBy, capped per
-    // column to the top CatTopK categories (ranked by baseline count inside
-    // a per-column window partition — never a global sort) + one aggregated
-    // tail bucket, so the collect is ≤ #cols × (CatTopK+1) rows no matter
-    // the column cardinality (same hazard class as the suite's LenCardCap)
+    // column to the top CatTopK categories + one aggregated tail bucket, so
+    // the collect is ≤ #cols × (CatTopK+1) rows no matter the column
+    // cardinality (same hazard class as the suite's LenCardCap). The top-K
+    // extraction is SALTED two-phase so no single task ever sorts a whole
+    // column's category table: phase 1 ranks within (name, salt) partitions
+    // (≈ cardinality/CatSaltFanout rows each) and folds per-salt tails into
+    // the other-bucket; phase 2 re-ranks the ≤ fanout·K surviving names.
+    // Exact vs a single per-column ranking: a globally top-K category is a
+    // fortiori top-K within its salt bucket, so phase 1 never drops one.
     val catDrift: Seq[ColumnDrift] = if (catCols.isEmpty) Seq.empty else {
       val structs = catCols.map(c => struct(lit(c).as("name"), col(c).cast("string").as("v")))
-      val perCol = org.apache.spark.sql.expressions.Window.partitionBy("name")
+      val w = org.apache.spark.sql.expressions.Window
+      val salt = pmod(xxhash64(col("v")), lit(CatSaltFanout))
+      val perSalt = w.partitionBy(col("name"), salt)
         .orderBy(col("c1").desc, col("c2").desc, col("v"))
+      // other-bucket rows sort AFTER every real category (boolean first key)
+      // so they never consume a phase-2 rank slot
+      val perCol = w.partitionBy("name")
+        .orderBy((col("vc") === OtherBucket).asc, col("c1").desc, col("c2").desc, col("vc"))
       val rows = df.select(explode(array(structs: _*)).as("nv"),
           when(isBaseline, 1L).otherwise(0L).as("s1"),
           when(isBaseline, 0L).otherwise(1L).as("s2"))
         .select(col("nv.name").as("name"), col("nv.v").as("v"), col("s1"), col("s2"))
         .where(col("v").isNotNull)
         .groupBy("name", "v").agg(sum("s1").as("c1"), sum("s2").as("c2"))
-        .withColumn("vc", when(row_number().over(perCol) <= CatTopK, col("v"))
+        .withColumn("vc", when(row_number().over(perSalt) <= CatTopK, col("v"))
+          .otherwise(lit(OtherBucket)))
+        .groupBy("name", "vc").agg(sum("c1").as("c1"), sum("c2").as("c2"))
+        .withColumn("vc", when(col("vc") =!= OtherBucket &&
+            row_number().over(perCol) <= CatTopK, col("vc"))
           .otherwise(lit(OtherBucket)))
         .groupBy("name", "vc").agg(sum("c1").as("c1"), sum("c2").as("c2"))
         .collect()

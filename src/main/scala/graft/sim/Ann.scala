@@ -74,11 +74,13 @@ object Ann {
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-    // re-attach: query vectors broadcast (the query batch is the small
-    // side by construction), corpus vectors via a hash join on the id
+    // re-attach: plain equi-joins on the ids, no broadcast HINT — a hint
+    // would force the whole query table (ids + vectors) onto the driver
+    // even for a huge query batch; AQE broadcasts it at runtime whenever
+    // it actually is small, and falls back to a shuffle join otherwise
     val scored = cand
       .join(cVecs, Seq("neighbor_id"))
-      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))),
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
         Seq("query_id"))
       .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))

@@ -101,7 +101,7 @@ object SuiteRunner {
       hllKey: Array[Byte] = Array.empty,     // mergeable HLL of (repo,path,commit)
       hllRepo: Array[Byte] = Array.empty,    // mergeable HLL of repo
       tdigestLen: Array[Byte] = Array.empty, // mergeable t-digest of content length
-      shaSamples: Seq[String] = Seq.empty,   // capped \u0000-joined key triples
+      shaSamples: Seq[String] = Seq.empty,   // capped JSON {repo,path,commit} triples
       lenCardApprox: Long = 0L)              // approx distinct lengths (routing)
 
   /** Parquet-serializable form of [[BatchArtifacts]] — persisted to the
@@ -160,19 +160,18 @@ object SuiteRunner {
     DriftMath.psi(keys.map(ref.getOrElse(_, 0L) / n1), keys.map(cur.getOrElse(_, 0L) / n2))
   }
 
-  /** Returns (statistic, p-value, Cramér's V). */
-  private def chiSqFromCounts(ref: Map[String, Long], cur: Map[String, Long]): (Double, Double, Double) = {
+  /** Returns (statistic, p-value, Cramér's V). Delegates the
+    * goodness-of-fit math to [[graft.drift.Drift.chiSqGof]] (one formula,
+    * one set-collapse regression test) and derives V = sqrt(χ² / (n·dof))
+    * from its statistic over the same baseline-covered total.
+    */
+  private[graft] def chiSqFromCounts(ref: Map[String, Long], cur: Map[String, Long]): (Double, Double, Double) = {
+    val (stat, p, dof) = graft.drift.Drift.chiSqGof(ref, cur)
+    if (dof < 1) return (stat, p, 0.0)
     val base = ref.filter(_._2 > 0)
-    val n1 = base.values.sum.toDouble
-    val n2cov = base.keys.map(cur.getOrElse(_, 0L)).sum.toDouble
-    if (n1 == 0 || n2cov == 0 || base.size < 2) return (0.0, 1.0, 0.0)
-    val stat = base.map { case (k, c1) =>
-      val exp = c1 / n1 * n2cov
-      val obs = cur.getOrElse(k, 0L).toDouble
-      (obs - exp) * (obs - exp) / exp
-    }.sum
-    val v = math.sqrt(stat / (n2cov * (base.size - 1)))
-    (stat, DriftMath.chiSquarePValue(stat, base.size - 1L), v)
+    val n2cov = base.keysIterator.map(cur.getOrElse(_, 0L)).sum.toDouble
+    val v = if (n2cov == 0) 0.0 else math.sqrt(stat / (n2cov * dof))
+    (stat, p, v)
   }
 
   /** Collect all per-batch artifacts for `batches` in the constant number of

@@ -16,4 +16,15 @@ class ChiGofRegressionSpec extends GraftSpec {
     assert(p == 1.0)
     assert(dof == 3)
   }
+
+  test("suite chiSqFromCounts has the same fix (drift_chisq verdict path)") {
+    // two langs tied at the same current count must both count toward
+    // coverage; identical proportions -> stat exactly 0, V exactly 0
+    val ref = Map("scala" -> 10L, "java" -> 10L, "python" -> 20L)
+    val cur = Map("scala" -> 30L, "java" -> 30L, "python" -> 60L)
+    val (stat, p, v) = graft.suite.SuiteRunner.chiSqFromCounts(ref, cur)
+    assert(stat == 0.0, s"stat=$stat (set-collapse would shrink n2cov to 90)")
+    assert(p == 1.0)
+    assert(v == 0.0)
+  }
 }

@@ -22,7 +22,8 @@ class JobCountSpec extends GraftSpec {
 
   test("Drift.detect: job count is CONSTANT in column count (no per-column fan-out)") {
     // Note: under AQE every shuffle-stage materialization is its own job,
-    // so the absolute number reflects stages (measured 15), not actions
+    // so the absolute number reflects stages (measured 17 — the salted
+    // two-phase categorical top-K adds two window stages), not actions
     // (5). The scale property is that the count does NOT grow with width:
     // the old implementation ran 2 + 2·#columns scans.
     val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
@@ -36,7 +37,7 @@ class JobCountSpec extends GraftSpec {
         "l_tax", "l_orderkey", "l_partkey"), Seq("l_returnflag", "l_linestatus"), isBase)
     }
     assert(n8 <= n4, s"jobs grew with column count: $n4 (4 cols) -> $n8 (8 cols)")
-    assert(n4 <= 16, s"detect with 4 columns ran $n4 jobs")
+    assert(n4 <= 19, s"detect with 4 columns ran $n4 jobs")
   }
 
   test("suite: job count does not grow with the number of pending batches") {
