@@ -80,6 +80,28 @@ class DriftCapSpec extends GraftSpec {
     assert(Drift.psiCategorical(df, "cat", col("is_base")) == wantPsi)
   }
 
+  test("detect's salted melted top-K equals the locally computed capped formula above the cap") {
+    // D=20000 categories with one shifted heavy hitter — above detect's
+    // fixed CatTopK=1000, so the SALTED two-phase ranking decides which
+    // categories survive; a salt bug (dropped survivor, double-counted
+    // tail) would change the statistic
+    val names = (0 until D).map(i => s"c$i")
+    val counts = names.map(n => (n, 1L, if (n == "c0") 1001L else 1L))
+    val ranked = counts.sortBy { case (v, c1, c2) => (-c1, -c2, v) }
+    val top = ranked.take(Drift.CatTopK)
+    val tail = ranked.drop(Drift.CatTopK)
+    val ref = (top.map(t => t._1 -> t._2) :+
+      (Drift.OtherBucket -> tail.map(_._2).sum)).toMap
+    val cur = (top.map(t => t._1 -> t._3) :+
+      (Drift.OtherBucket -> tail.map(_._3).sum)).toMap
+    val (wantStat, wantP, _) = Drift.chiSqGof(ref, cur)
+    val rep = Drift.detect(shifted, Seq.empty, Seq("cat"), col("is_base"))
+    val chi = rep.feature_drift.find(_.test == "chisq").get
+    assert(math.abs(chi.statistic - wantStat) / wantStat < 1e-12,
+      s"got ${chi.statistic} want $wantStat")
+    assert(chi.p_value == wantP)
+  }
+
   test("Drift.detect at 10^6 distinct categories: bounded collect, no-drift verdict on identical sides") {
     val n = 1000000L
     // both sides carry the SAME 10^6-distinct distribution → any correct

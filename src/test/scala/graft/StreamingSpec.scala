@@ -139,6 +139,39 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("T5 wall-clock cadence: ProcessingTime trigger spaces micro-batches by the poll interval") {
+    // the reference's news monitor polls on a fixed 60 s cadence
+    // (news.py:25, 543-544); the Structured Streaming analog is a
+    // ProcessingTime trigger. 3 pre-existing files × maxFilesPerTrigger=1
+    // force 3 non-empty micro-batches; their start timestamps must land on
+    // the trigger grid — consecutive non-empty batches ≥ ~1 interval apart
+    // (a batch that overruns its slot starts the next immediately, so the
+    // gap is then the batch duration, still ≥ the interval)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_pt").toString
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, s"t$i")).toDF("id", "s").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val stream = spark.readStream.schema("id BIGINT, s STRING")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val qname = s"cadence_${System.nanoTime()}"
+    val q = stream.writeStream.outputMode("append").format("memory").queryName(qname)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second")).start()
+    try {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (spark.table(qname).count() < 3 && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(spark.table(qname).count() == 3, "all 3 files must drain")
+      val starts = q.recentProgress.filter(_.numInputRows > 0)
+        .map(p => java.time.Instant.parse(p.timestamp).toEpochMilli).sorted
+      assert(starts.length >= 3, s"expected 3 non-empty micro-batches, got ${starts.length}")
+      val gaps = starts.sliding(2).map(w => w(1) - w(0)).toSeq
+      // 40% slack: timestamps are batch-start stamps on a noisy shared host
+      assert(gaps.forall(_ >= 600),
+        s"micro-batches not paced by the 1 s trigger: gaps ${gaps.mkString(",")} ms")
+    } finally q.stop()
+  }
+
   test("tumbling 5-minute window aggregate matches manual bucketing (DESIGN.md:283-291)") {
     val sfDir = "/root/testdata/sf0.001"
     val e = graft.core.Tables.events(spark, sfDir)
