@@ -139,14 +139,15 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
-  test("T5 wall-clock cadence: ProcessingTime trigger spaces micro-batches by the poll interval") {
+  test("T5 wall-clock cadence: ProcessingTime trigger paces the drain to the poll interval") {
     // the reference's news monitor polls on a fixed 60 s cadence
     // (news.py:25, 543-544); the Structured Streaming analog is a
     // ProcessingTime trigger. 3 pre-existing files × maxFilesPerTrigger=1
-    // force 3 non-empty micro-batches; their start timestamps must land on
-    // the trigger grid — consecutive non-empty batches ≥ ~1 interval apart
-    // (a batch that overruns its slot starts the next immediately, so the
-    // gap is then the batch duration, still ≥ the interval)
+    // force 3 non-empty micro-batches, so draining takes ≥ 2 trigger
+    // intervals of OUR OWN wall clock. Progress-report timestamp gaps are
+    // deliberately NOT asserted — they compress under host load (observed
+    // 433/297 ms gaps at a 700 ms interval) — while the total drain time
+    // can only grow under load, never shrink below the trigger pacing.
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_pt").toString
     (0 until 3).foreach { i =>
       Seq((i.toLong, s"t$i")).toDF("id", "s").coalesce(1)
@@ -155,20 +156,21 @@ class StreamingSpec extends GraftSpec {
     val stream = spark.readStream.schema("id BIGINT, s STRING")
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val qname = s"cadence_${System.nanoTime()}"
+    val t0 = System.nanoTime()
     val q = stream.writeStream.outputMode("append").format("memory").queryName(qname)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second")).start()
     try {
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       while (spark.table(qname).count() < 3 && System.nanoTime() < deadline)
-        Thread.sleep(200)
+        Thread.sleep(100)
+      val drainMs = (System.nanoTime() - t0) / 1000000
       assert(spark.table(qname).count() == 3, "all 3 files must drain")
-      val starts = q.recentProgress.filter(_.numInputRows > 0)
-        .map(p => java.time.Instant.parse(p.timestamp).toEpochMilli).sorted
-      assert(starts.length >= 3, s"expected 3 non-empty micro-batches, got ${starts.length}")
-      val gaps = starts.sliding(2).map(w => w(1) - w(0)).toSeq
-      // 40% slack: timestamps are batch-start stamps on a noisy shared host
-      assert(gaps.forall(_ >= 600),
-        s"micro-batches not paced by the 1 s trigger: gaps ${gaps.mkString(",")} ms")
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "rate limit must split the drain into >= 3 non-empty micro-batches")
+      // 2 full intervals separate batch 0 from batch 2; 1500 ms leaves 25%
+      // slack for the poll loop's 100 ms granularity and trigger alignment
+      assert(drainMs >= 1500,
+        s"3 rate-limited batches drained in ${drainMs} ms — not paced by the 1 s trigger")
     } finally q.stop()
   }
 
