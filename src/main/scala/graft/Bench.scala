@@ -42,14 +42,11 @@ object Bench {
 
     // ---- suite throughput (the BASELINE metric) ----
     // generate the bench code table ONCE to parquet so the timed run reads
-    // from disk like production (generation excluded from the timing)
-    val benchInput = s"/tmp/graft_bench_input_$suiteRows"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(benchInput, "_SUCCESS"))) {
-      // production layout: partitioned by the validation unit so resume and
-      // per-batch validation physically prune unread batches (PlanSpec)
-      gen.CodeTableGen.generate(spark, suiteRows, batches = 4)
-        .write.partitionBy("batch_id").mode("overwrite").parquet(benchInput)
-    }
+    // from disk like production (generation excluded from the timing);
+    // shared with the scaling profiles (honors SPARK_GRAFT_INPUT, layout
+    // partitioned by the validation unit so resume and per-batch validation
+    // physically prune unread batches, regenerates on row-count mismatch)
+    val benchInput = GenBenchInput.ensure(spark, suiteRows)
     val dim = gen.CodeTableGen.repoLangDim(spark)
     // warm-up at FULL size (JIT compilation of the generated code paths
     // dominates the first run: 58s → 21s steady-state), excluded per

@@ -38,23 +38,31 @@ object ProfileSuite {
   * share one on-disk input.
   */
 object GenBenchInput {
-  def main(args: Array[String]): Unit = {
-    val rows = sys.env.getOrElse("SPARK_GRAFT_SUITE_ROWS", "8000000").toLong
+  /** Ensures the bench code table exists with EXACTLY `rows` rows at the
+    * SPARK_GRAFT_INPUT-pinned (or default per-row-count) path; (re)generates
+    * otherwise. The single source of truth for bench/scaling input layout —
+    * Bench and the scaling profiles both go through here, so a pinned path
+    * holding a different row count is regenerated, never silently measured
+    * (parquet count() is footer-stats-only, cheap).
+    */
+  def ensure(spark: SparkSession, rows: Long): String = {
     val out = sys.env.getOrElse("SPARK_GRAFT_INPUT", s"/tmp/graft_bench_input_$rows")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // reuse is only valid if the existing data really has the requested
-    // row count — a pinned SPARK_GRAFT_INPUT with a different
-    // SPARK_GRAFT_SUITE_ROWS must regenerate, not silently measure stale
-    // data (parquet count() is footer-stats-only, cheap)
     val exists = java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")) &&
       spark.read.parquet(out).count() == rows
     if (!exists) {
       gen.CodeTableGen.generate(spark, rows, batches = 4)
         .write.partitionBy("batch_id").mode("overwrite").parquet(out)
     }
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_SUITE_ROWS", "8000000").toLong
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = ensure(spark, rows)
     println(s"""{"input":"$out","rows":$rows}""")
     spark.stop()
   }

@@ -642,10 +642,17 @@ object SparkEntry {
         count(lit(1)).as("n"),
         sum(when(size(col("feature")) === 8, 0L).otherwise(1L)).as("bad_len"),
         sum(when(col("n_frames") >= 1, 0L).otherwise(1L)).as("bad_frames")).collect()(0)
-      val mismatch = f1.select(col("media_id"), col("feature").as("fa"))
-        .join(f2.select(col("media_id"), col("feature").as("fb")), "media_id")
-        .where(not(col("fa") === col("fb"))).count()
-      Seq((st.getLong(0) == 1000L, st.getLong(1) == 0L,
+      // determinism must not pass vacuously: a run that DROPS rows would
+      // shrink an inner join silently, so compare via full outer join on
+      // every extracted column — any one-sided id or field diff counts
+      val n2 = f2.count()
+      val mismatch = f1.select(col("media_id"), col("feature").as("fa"),
+          col("n_frames").as("na"))
+        .join(f2.select(col("media_id"), col("feature").as("fb"),
+          col("n_frames").as("nb")), Seq("media_id"), "full_outer")
+        .where(col("fa").isNull || col("fb").isNull ||
+          not(col("fa") === col("fb")) || col("na") =!= col("nb")).count()
+      Seq((st.getLong(0) == 1000L && n2 == 1000L, st.getLong(1) == 0L,
         st.getLong(2) == 0L, mismatch == 0L))
         .toDF("rows_ok", "len_ok", "frames_ok", "deterministic")
     }))
@@ -1119,7 +1126,8 @@ object SparkEntry {
          ct AS (SELECT sum(c1)::DOUBLE n1, sum(c2)::DOUBLE n2cov FROM cb),
          chi AS (SELECT sum(pow(c2 - c1 / n1 * n2cov, 2) / (c1 / n1 * n2cov)) AS stat FROM cb, ct),
          nn AS (SELECT CAST(sum(s1) AS BIGINT) AS nref,
-                       CAST(sum(1 - s1) AS BIGINT) AS ncur FROM clean),
+                       CAST(sum(1 - s1) AS BIGINT) AS ncur
+                FROM clean WHERE rf IS NOT NULL),
          ks AS (SELECT 'l_quantity' AS colname, d, n1, n2 FROM ksq
                 UNION ALL SELECT 'l_extendedprice', d, n1, n2 FROM ksp
                 UNION ALL SELECT 'l_discount', d, n1, n2 FROM ksd),

@@ -151,9 +151,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the (threshold-filtered, small) pair output so the sigs
     // cache can be dropped deterministically; lineage stays intact, so an
-    // evicted output block just recomputes — no checkpoint fragility
-    out.count()
-    sigs.unpersist(blocking = false)
+    // evicted output block just recomputes — no checkpoint fragility. A
+    // failed materialization (cancelled job, skew OOM) must not strand
+    // either cache: the caller gets no handle to unpersist on the throw path
+    try out.count()
+    catch { case e: Throwable => out.unpersist(blocking = false); throw e }
+    finally sigs.unpersist(blocking = false)
     out
   }
 
@@ -245,11 +248,16 @@ object Dedup {
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, bits: Int = 0,
-                     tables: Int = 4): DataFrame = {
+                     tables: Int = 0): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // bits sized to the corpus unless pinned: 2^bits buckets/table ≈ n/64
     val b = if (bits > 0) bits else autoBits(vecs.count())
-    val sigs = (0 until tables).map(t =>
+    // tables sized to the bits unless pinned: narrower buckets (higher bits)
+    // cut per-table hit probability p^bits, so a FIXED table count silently
+    // loses recall as autoBits grows with the corpus — derive the count that
+    // restores ≥0.9 recall at this query's own cosine threshold instead
+    val nt = if (tables > 0) tables else autoTables(b, threshold)
+    val sigs = (0 until nt).map(t =>
       struct(lit(t).as("t"), signLshSignature(col("v"), b, t).as("sig")))
     // band join carries ONLY (t, sig, id) — at 100 TB of embeddings the
     // vectors are the payload, and shuffling them through the bucket
@@ -271,8 +279,10 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    e.unpersist(blocking = false)
+    // same failure-path cache hygiene as minhashLshPairs
+    try out.count()
+    catch { case ex: Throwable => out.unpersist(blocking = false); throw ex }
+    finally e.unpersist(blocking = false)
     out
   }
 
@@ -288,6 +298,27 @@ object Dedup {
     val ideal = math.ceil(
       math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
     math.min(maxBits, math.max(minBits, ideal))
+  }
+
+  /** Number of independent hyperplane tables needed for `targetRecall` at a
+    * given signature width and design cosine threshold. One hyperplane
+    * agrees on a pair at angle θ with probability p = 1 − θ/π; a pair lands
+    * in the same bucket of one table with probability hit = p^bits (or
+    * p^bits + bits·(1−p)·p^(bits−1) when the consumer also probes all 1-bit
+    * flips), so recall = 1 − (1 − hit)^tables ≥ target →
+    * tables = ⌈ln(1−target) / ln(1−hit)⌉, clamped to [1, 64]. This is what
+    * keeps DEFAULT recall stable while autoBits widens signatures with
+    * corpus size.
+    */
+  def autoTables(bits: Int, threshold: Double, targetRecall: Double = 0.9,
+                 oneBitProbe: Boolean = false): Int = {
+    val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    val pb = math.pow(p, bits)
+    val hit = math.min(1.0 - 1e-12,
+      if (oneBitProbe) pb + bits * (1.0 - p) * math.pow(p, bits - 1) else pb)
+    if (hit >= targetRecall) 1
+    else math.min(64, math.max(1,
+      math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - hit)).toInt))
   }
 
   /** Sign-LSH signature: bit j = sign(v · r_j) where r_j is a deterministic

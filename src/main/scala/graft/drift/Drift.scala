@@ -146,6 +146,12 @@ object Drift {
     */
   def detect(df: DataFrame, numericCols: Seq[String], catCols: Seq[String],
              isBaseline: Column, ksThreshold: Double = KsThreshold): DriftReport = {
+    // a duplicated name would silently double every melted count (and so the
+    // chi-square statistic) / collide the conditional-agg aliases — refuse
+    require(numericCols.distinct.size == numericCols.size,
+      s"detect: duplicate numeric columns in ${numericCols.mkString(", ")}")
+    require(catCols.distinct.size == catCols.size,
+      s"detect: duplicate categorical columns in ${catCols.mkString(", ")}")
     // job 1: both sides' moments per numeric column in one conditional agg
     case class Sides(n1: Long, m1: Double, s1: Double, n2: Long, m2: Double)
     val sides: Map[String, Sides] = if (numericCols.isEmpty) Map.empty else {
@@ -212,33 +218,44 @@ object Drift {
         .groupBy("name", "vc").agg(sum("c1").as("c1"), sum("c2").as("c2"))
         .collect()
       val byName = rows.groupBy(_.getString(0))
-      val nRef = numericCols.headOption.map(c => sides(c).n1).getOrElse(0L)
-      val nCur = numericCols.headOption.map(c => sides(c).n2).getOrElse(0L)
       catCols.map { c =>
         val cnts = byName.getOrElse(c, Array.empty)
         val ref = cnts.map(r => r.getString(1) -> r.getLong(2)).toMap
         val cur = cnts.map(r => r.getString(1) -> r.getLong(3)).toMap
         val (stat, p, _) = chiSqGof(ref, cur)
-        ColumnDrift(c, "chisq", stat, p, p < ChiSqThreshold, 0.0, nRef, nCur)
+        // n_ref/n_cur are THIS column's non-null counts (the tail fold
+        // preserves per-side sums), not the first numeric column's — a
+        // cat-only detect() must not report sample sizes of 0
+        ColumnDrift(c, "chisq", stat, p, p < ChiSqThreshold, 0.0,
+          cnts.map(_.getLong(2)).sum, cnts.map(_.getLong(3)).sum)
       }
     }
 
     val all = ksDrift ++ catDrift
     DriftReport(all.exists(_.drift_detected),
-      all, numericCols.map(c => sides(c).n2).maxOption.getOrElse(0L))
+      all,
+      (numericCols.map(c => sides(c).n2) ++ catDrift.map(_.n_cur))
+        .maxOption.getOrElse(0L))
   }
 
   /** Chi-square goodness-of-fit from category count maps: expected =
     * baseline proportions × current covered total; categories absent from
     * the baseline excluded; dof = #baseline categories − 1.
     */
+  /** Current-side total over baseline-covered categories — the chi-square
+    * coverage denominator. ONE shared definition: Cramér's V normalizes by
+    * this same quantity (Suite.chiSqFromCounts), so the two must not drift.
+    * Iterates the KEYS as a sequence: mapping the key SET to counts would
+    * collapse equal counts before the sum (latent bug — fired once many
+    * categories shared a count, e.g. a uniform top-K from the capped path).
+    */
+  private[graft] def coveredCurTotal(ref: Map[String, Long], cur: Map[String, Long]): Double =
+    ref.filter(_._2 > 0).keysIterator.map(cur.getOrElse(_, 0L)).sum.toDouble
+
   private[graft] def chiSqGof(ref: Map[String, Long], cur: Map[String, Long]): (Double, Double, Long) = {
     val base = ref.filter(_._2 > 0)
     val n1 = base.values.sum.toDouble
-    // iterate the KEYS as a sequence: mapping the key SET to counts would
-    // collapse equal counts before the sum (latent bug — fired once many
-    // categories shared a count, e.g. a uniform top-K from the capped path)
-    val n2cov = base.keysIterator.map(cur.getOrElse(_, 0L)).sum.toDouble
+    val n2cov = coveredCurTotal(ref, cur)
     if (n1 == 0 || n2cov == 0 || base.size < 2) return (0.0, 1.0, 0L)
     val stat = base.map { case (k, c1) =>
       val exp = c1 / n1 * n2cov

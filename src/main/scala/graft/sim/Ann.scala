@@ -41,23 +41,30 @@ object Ann {
     * (table, signature) — no broadcast of the corpus, no O(n²).
     * Candidate recall ≈ 1 − (1 − p(probe))^tables: raise `bits` for more,
     * smaller buckets (2^bits per table); raise `tables` to win recall back.
+    *
+    * `designCos` is the cosine of the neighbors the index is sized to find:
+    * when `tables` is left at 0 the table count derives from it
+    * ([[Dedup.autoTables]], 1-bit-probe variant) so recall at the design
+    * point stays ≥ 0.9 as `autoBits` widens signatures with corpus size.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int = 10, bits: Int = 0,
-              tables: Int = 4): DataFrame = {
+              tables: Int = 0, designCos: Double = 0.9): DataFrame = {
     val cVecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     // bucket width sized to the corpus unless pinned (Dedup.autoBits)
     val b = if (bits > 0) bits else Dedup.autoBits(cVecs.count())
+    val nt = if (tables > 0) tables
+      else Dedup.autoTables(b, designCos, oneBitProbe = true)
     // the bucket join carries ONLY (t, bucket, id) on the corpus side —
     // vectors re-attach to the deduplicated candidate set afterwards, so
     // the big side's shuffle payload is 3 longs/row × tables, not the
     // embedding itself (same shape as Dedup.embeddingPairs/minhashLshPairs)
-    val cSigs = (0 until tables).map(t =>
+    val cSigs = (0 until nt).map(t =>
       struct(lit(t).as("t"), Dedup.signLshSignature(col("cv"), b, t).as("bucket")))
     val c = cVecs.select(col("neighbor_id"), explode(array(cSigs: _*)).as("ts"))
       .select(col("neighbor_id"), col("ts.t").as("t"), col("ts.bucket").as("bucket"))
     // multiprobe per table: own bucket + flip each of `b` bits
-    val qProbes = (0 until tables).map { t =>
+    val qProbes = (0 until nt).map { t =>
       val sig = Dedup.signLshSignature(col(vecCol), b, t)
       val probes = array_union(
         array(sig),

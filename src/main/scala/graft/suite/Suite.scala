@@ -168,8 +168,7 @@ object SuiteRunner {
   private[graft] def chiSqFromCounts(ref: Map[String, Long], cur: Map[String, Long]): (Double, Double, Double) = {
     val (stat, p, dof) = graft.drift.Drift.chiSqGof(ref, cur)
     if (dof < 1) return (stat, p, 0.0)
-    val base = ref.filter(_._2 > 0)
-    val n2cov = base.keysIterator.map(cur.getOrElse(_, 0L)).sum.toDouble
+    val n2cov = graft.drift.Drift.coveredCurTotal(ref, cur)
     val v = if (n2cov == 0) 0.0 else math.sqrt(stat / (n2cov * dof))
     (stat, p, v)
   }

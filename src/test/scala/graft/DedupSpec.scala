@@ -108,4 +108,22 @@ class DedupSpec extends GraftSpec {
     assert(Dedup.autoBits(1L << 40) == 24)      // ceiling: bucket key stays compact
     // recall evidence at narrow buckets lives in AnnSpec (2^16 x 8 tables >= 0.9)
   }
+
+  test("autoTables keeps default recall >= 0.9 as autoBits widens signatures") {
+    // p(0.95) = 1 - acos(0.95)/pi ~ 0.899: hit = p^bits per table, tables =
+    // ceil(ln 0.1 / ln(1 - hit)) — a FIXED table count would decay recall
+    // from ~0.89 at bits=8 to ~0.28 at bits=24; the derived counts hold 0.9
+    assert(Dedup.autoTables(8, 0.95) == 5)
+    assert(Dedup.autoTables(14, 0.95) == 10)   // autoBits(10^6) pairs with 10 tables
+    assert(Dedup.autoTables(24, 0.95) == 29)
+    // 1-bit multiprobe (lshTopK) raises per-table hit, needing fewer tables
+    assert(Dedup.autoTables(16, 0.9, oneBitProbe = true) == 7)
+    // analytic recall check: 1 - (1 - hit)^tables >= 0.9 at every width
+    for (b <- Seq(8, 12, 16, 20, 24)) {
+      val p = 1.0 - math.acos(0.95) / math.Pi
+      val hit = math.pow(p, b)
+      val t = Dedup.autoTables(b, 0.95)
+      assert(1.0 - math.pow(1.0 - hit, t) >= 0.9, s"bits=$b tables=$t")
+    }
+  }
 }

@@ -142,14 +142,17 @@ class StreamingSpec extends GraftSpec {
   test("T5 wall-clock cadence: ProcessingTime trigger paces the drain to the poll interval") {
     // the reference's news monitor polls on a fixed 60 s cadence
     // (news.py:25, 543-544); the Structured Streaming analog is a
-    // ProcessingTime trigger. 3 pre-existing files × maxFilesPerTrigger=1
-    // force 3 non-empty micro-batches, so draining takes ≥ 2 trigger
-    // intervals of OUR OWN wall clock. Progress-report timestamp gaps are
+    // ProcessingTime trigger. 4 pre-existing files × maxFilesPerTrigger=1
+    // force 4 non-empty micro-batches. Progress-report timestamp gaps are
     // deliberately NOT asserted — they compress under host load (observed
     // 433/297 ms gaps at a 700 ms interval) — while the total drain time
-    // can only grow under load, never shrink below the trigger pacing.
+    // under OUR OWN clock can only grow with load, never shrink below the
+    // trigger pacing. Batch 0 fires immediately at an arbitrary clock
+    // offset and batches 1..3 sit on successive epoch-aligned boundaries,
+    // so the guaranteed floor is 2 FULL intervals (batch1→batch3), however
+    // close the start was to its first boundary.
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_pt").toString
-    (0 until 3).foreach { i =>
+    (0 until 4).foreach { i =>
       Seq((i.toLong, s"t$i")).toDF("id", "s").coalesce(1)
         .write.mode("append").parquet(dir)
     }
@@ -161,16 +164,15 @@ class StreamingSpec extends GraftSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second")).start()
     try {
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-      while (spark.table(qname).count() < 3 && System.nanoTime() < deadline)
+      while (spark.table(qname).count() < 4 && System.nanoTime() < deadline)
         Thread.sleep(100)
       val drainMs = (System.nanoTime() - t0) / 1000000
-      assert(spark.table(qname).count() == 3, "all 3 files must drain")
-      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
-        "rate limit must split the drain into >= 3 non-empty micro-batches")
-      // 2 full intervals separate batch 0 from batch 2; 1500 ms leaves 25%
-      // slack for the poll loop's 100 ms granularity and trigger alignment
+      assert(spark.table(qname).count() == 4, "all 4 files must drain")
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+        "rate limit must split the drain into >= 4 non-empty micro-batches")
+      // guaranteed floor 2000 ms; 1500 leaves 25% slack for clock skew
       assert(drainMs >= 1500,
-        s"3 rate-limited batches drained in ${drainMs} ms — not paced by the 1 s trigger")
+        s"4 rate-limited batches drained in ${drainMs} ms — not paced by the 1 s trigger")
     } finally q.stop()
   }
 
