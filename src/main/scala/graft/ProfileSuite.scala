@@ -16,6 +16,9 @@ object ProfileSuite {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val code = spark.read.parquet(input)
+    // counted (footer-stats-only, cheap) and REPORTED so a stale pinned
+    // input can't be silently profiled as if it had the assumed row count
+    val codeRows = code.count()
     val dim = graft.gen.CodeTableGen.repoLangDim(spark)
     def once(): Double = {
       val io = new ParquetTableIO(java.nio.file.Files.createTempDirectory("prof").toString)
@@ -26,8 +29,9 @@ object ProfileSuite {
     once() // warm-up (JIT of generated code)
     val ts = (1 to runs).map(_ => once()).sorted
     println(String.format(java.util.Locale.ROOT,
-      """{"cpus":%s,"input":"%s","runs":%d,"min":%.3f,"median":%.3f}""",
-      cpus, input, Int.box(runs), Double.box(ts.head), Double.box(ts(ts.length / 2))))
+      """{"cpus":%s,"input":"%s","rows":%d,"runs":%d,"min":%.3f,"median":%.3f}""",
+      cpus, input, Long.box(codeRows), Int.box(runs),
+      Double.box(ts.head), Double.box(ts(ts.length / 2))))
     spark.stop()
   }
 }
@@ -46,10 +50,18 @@ object GenBenchInput {
     * (parquet count() is footer-stats-only, cheap).
     */
   def ensure(spark: SparkSession, rows: Long): String = {
-    val out = sys.env.getOrElse("SPARK_GRAFT_INPUT", s"/tmp/graft_bench_input_$rows")
-    val exists = java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")) &&
-      spark.read.parquet(out).count() == rows
-    if (!exists) {
+    val pinned = sys.env.get("SPARK_GRAFT_INPUT")
+    val out = pinned.getOrElse(s"/tmp/graft_bench_input_$rows")
+    val committed = java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))
+    val counted = if (committed) spark.read.parquet(out).count() else -1L
+    if (counted != rows) {
+      // a PINNED path holding different data is an operator mistake (stale
+      // env var from a scaling session) — overwriting would destroy an
+      // expensive input (256M rows ≈ 36 GB, minutes to regenerate), so
+      // refuse; the default per-row-count path is ours to regenerate
+      if (pinned.isDefined && committed) throw new IllegalStateException(
+        s"SPARK_GRAFT_INPUT=$out holds $counted rows but $rows were " +
+          s"requested — unset SPARK_GRAFT_INPUT or set SPARK_GRAFT_SUITE_ROWS=$counted")
       gen.CodeTableGen.generate(spark, rows, batches = 4)
         .write.partitionBy("batch_id").mode("overwrite").parquet(out)
     }

@@ -380,8 +380,10 @@ object SparkEntry {
         (col("vec_id") + 100000).as("vec_id"),
         zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
           (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+      // same parameters as q_embedding_pairs (tables auto-derived) so the
+      // recall gate measures the configuration that pipeline actually ships
       val hits = Dedup.embeddingPairs(e.unionByName(dups), "vec_id", "embedding",
-          threshold = 0.9, bits = 8, tables = 4)
+          threshold = 0.9, bits = 8)
         .where(col("id2") === col("id1") + 100000 && col("id1") < 20).count()
       Seq((hits / 20.0 >= 0.9, 20L)).toDF("recall_ok", "injected")
     }),

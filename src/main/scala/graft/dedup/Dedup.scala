@@ -250,13 +250,18 @@ object Dedup {
                      threshold: Double = 0.95, bits: Int = 0,
                      tables: Int = 0): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // bits sized to the corpus unless pinned: 2^bits buckets/table ≈ n/64
-    val b = if (bits > 0) bits else autoBits(vecs.count())
-    // tables sized to the bits unless pinned: narrower buckets (higher bits)
-    // cut per-table hit probability p^bits, so a FIXED table count silently
-    // loses recall as autoBits grows with the corpus — derive the count that
-    // restores ≥0.9 recall at this query's own cosine threshold instead
-    val nt = if (tables > 0) tables else autoTables(b, threshold)
+    // (bits, tables) sized jointly unless pinned: narrower buckets (higher
+    // bits) cut per-table hit probability p^bits, so a FIXED table count
+    // silently loses recall as autoBits grows with the corpus; and at a
+    // loose threshold the table budget can bind, in which case the
+    // signature narrows instead ([[autoBitsTables]]) — default-path recall
+    // stays ≥ 0.9 at this query's own cosine threshold
+    val (b, nt) = (bits, tables) match {
+      case (0, 0)          => autoBitsTables(vecs.count(), threshold)
+      case (0, t)          => (autoBits(vecs.count()), t)
+      case (bb, 0)         => (bb, autoTables(bb, threshold))
+      case (bb, t)         => (bb, t)
+    }
     val sigs = (0 until nt).map(t =>
       struct(lit(t).as("t"), signLshSignature(col("v"), b, t).as("sig")))
     // band join carries ONLY (t, sig, id) — at 100 TB of embeddings the
@@ -317,8 +322,38 @@ object Dedup {
     val hit = math.min(1.0 - 1e-12,
       if (oneBitProbe) pb + bits * (1.0 - p) * math.pow(p, bits - 1) else pb)
     if (hit >= targetRecall) 1
-    else math.min(64, math.max(1,
+    else math.min(MaxTables, math.max(1,
       math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - hit)).toInt))
+  }
+
+  /** Table-count budget: band rows (and bucket-join traffic) scale linearly
+    * with tables, so the count is capped and [[autoBitsTables]] narrows the
+    * signature instead when a loose threshold would need more.
+    */
+  val MaxTables = 64
+
+  /** Jointly derive (bits, tables) for a corpus and cosine threshold.
+    * [[autoBits]] gives the occupancy-optimal signature width, but at a
+    * LOOSE threshold the per-table hit rate p^bits can be so low that no
+    * table count within [[MaxTables]] reaches `targetRecall` — silently
+    * clamping there would re-introduce the exact hidden recall loss the
+    * derivation exists to prevent. Instead the signature narrows (buckets
+    * widen — more candidates per bucket, the honest quadratic price of high
+    * recall at a loose threshold) until the target fits the budget: e.g.
+    * 2^40 docs at threshold 0.95 → (24 bits, 29 tables), at 0.75 →
+    * (12 bits, 52 tables), both with analytic recall ≥ 0.9. The invariant
+    * holds for any threshold ≥ ~0.45; below that even 8-bit signatures
+    * cannot fit the budget and the clamped count (with its reduced recall)
+    * is the best available — pin bits/tables explicitly in that regime.
+    */
+  def autoBitsTables(n: Long, threshold: Double, targetRecall: Double = 0.9,
+                     oneBitProbe: Boolean = false): (Int, Int) = {
+    // autoTables clamps at MaxTables, so a returned count AT the cap means
+    // the budget binds (or exactly fits) — descend; one extra step on an
+    // exact fit is harmless, recall only rises as buckets widen
+    var b = autoBits(n)
+    while (b > 8 && autoTables(b, threshold, targetRecall, oneBitProbe) >= MaxTables) b -= 1
+    (b, autoTables(b, threshold, targetRecall, oneBitProbe))
   }
 
   /** Sign-LSH signature: bit j = sign(v · r_j) where r_j is a deterministic

@@ -51,10 +51,14 @@ object Ann {
               idCol: String, vecCol: String, k: Int = 10, bits: Int = 0,
               tables: Int = 0, designCos: Double = 0.9): DataFrame = {
     val cVecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    // bucket width sized to the corpus unless pinned (Dedup.autoBits)
-    val b = if (bits > 0) bits else Dedup.autoBits(cVecs.count())
-    val nt = if (tables > 0) tables
-      else Dedup.autoTables(b, designCos, oneBitProbe = true)
+    // (bits, tables) sized jointly unless pinned — same derivation as
+    // Dedup.embeddingPairs but with the 1-bit-probe hit rate
+    val (b, nt) = (bits, tables) match {
+      case (0, 0)  => Dedup.autoBitsTables(cVecs.count(), designCos, oneBitProbe = true)
+      case (0, t)  => (Dedup.autoBits(cVecs.count()), t)
+      case (bb, 0) => (bb, Dedup.autoTables(bb, designCos, oneBitProbe = true))
+      case (bb, t) => (bb, t)
+    }
     // the bucket join carries ONLY (t, bucket, id) on the corpus side —
     // vectors re-attach to the deduplicated candidate set afterwards, so
     // the big side's shuffle payload is 3 longs/row × tables, not the

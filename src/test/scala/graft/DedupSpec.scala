@@ -126,4 +126,21 @@ class DedupSpec extends GraftSpec {
       assert(1.0 - math.pow(1.0 - hit, t) >= 0.9, s"bits=$b tables=$t")
     }
   }
+
+  test("autoBitsTables narrows the signature when the table budget binds") {
+    // 2^40 docs: tight threshold keeps autoBits' width; a loose one would
+    // need ~1200 tables at 24 bits — the signature must narrow instead of
+    // silently clamping the table count below the recall target
+    assert(Dedup.autoBitsTables(1L << 40, 0.95) == ((24, 29)))
+    assert(Dedup.autoBitsTables(1L << 40, 0.75) == ((12, 52)))
+    // analytic >=0.9 recall holds at BOTH derived operating points — the
+    // invariant a fixed clamp abandons
+    for (thr <- Seq(0.75, 0.85, 0.9, 0.95)) {
+      val (b, t) = Dedup.autoBitsTables(1L << 40, thr)
+      val p = 1.0 - math.acos(thr) / math.Pi
+      assert(1.0 - math.pow(1.0 - math.pow(p, b), t) >= 0.9,
+        s"thr=$thr -> bits=$b tables=$t")
+      assert(t <= Dedup.MaxTables)
+    }
+  }
 }
