@@ -52,14 +52,18 @@ object GenBenchInput {
   def ensure(spark: SparkSession, rows: Long): String = {
     val pinned = sys.env.get("SPARK_GRAFT_INPUT")
     val out = pinned.getOrElse(s"/tmp/graft_bench_input_$rows")
-    val committed = java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))
-    val counted = if (committed) spark.read.parquet(out).count() else -1L
+    // readability probed through Spark's own FS layer (not java.nio, which
+    // is blind to hdfs://-style URIs and to data whose _SUCCESS marker was
+    // cleaned up): any readable parquet at the path yields its footer count
+    val counted = scala.util.Try(spark.read.parquet(out).count()).getOrElse(-1L)
     if (counted != rows) {
-      // a PINNED path holding different data is an operator mistake (stale
-      // env var from a scaling session) — overwriting would destroy an
-      // expensive input (256M rows ≈ 36 GB, minutes to regenerate), so
-      // refuse; the default per-row-count path is ours to regenerate
-      if (pinned.isDefined && committed) throw new IllegalStateException(
+      // a PINNED path holding ANY readable data of a different size is an
+      // operator mistake (stale env var from a scaling session) —
+      // overwriting would destroy an expensive input (256M rows ≈ 36 GB,
+      // minutes to regenerate), so refuse; only an empty/unreadable pinned
+      // path is generated into (that is GenBenchInput's contract), and the
+      // default per-row-count path is always ours to regenerate
+      if (pinned.isDefined && counted >= 0) throw new IllegalStateException(
         s"SPARK_GRAFT_INPUT=$out holds $counted rows but $rows were " +
           s"requested — unset SPARK_GRAFT_INPUT or set SPARK_GRAFT_SUITE_ROWS=$counted")
       gen.CodeTableGen.generate(spark, rows, batches = 4)

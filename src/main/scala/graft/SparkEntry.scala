@@ -1134,11 +1134,15 @@ object SparkEntry {
                 UNION ALL SELECT 'l_extendedprice', d, n1, n2 FROM ksp
                 UNION ALL SELECT 'l_discount', d, n1, n2 FROM ksd),
          ksv AS (SELECT colname, d,
+                        -- D = 0 short-circuits to p = 1 exactly like the
+                        -- engine's kolmogorovSF (the alternating series
+                        -- degenerates to 0 at lambda = 0, the wrong limit)
+                        CASE WHEN d <= 0 THEN 1.0 ELSE
                         least(1.0, greatest(0.0, list_sum(list_transform(range(1, 101),
                           k -> 2.0 * (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
                                * exp(-2.0 * k * k
                                      * (sqrt(n1 * n2 / (n1 + n2)) * d)
-                                     * (sqrt(n1 * n2 / (n1 + n2)) * d)))))) AS pv,
+                                     * (sqrt(n1 * n2 / (n1 + n2)) * d)))))) END AS pv,
                         CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
                  FROM ks)
          SELECT * FROM (

@@ -249,7 +249,13 @@ object Dedup {
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, bits: Int = 0,
                      tables: Int = 0): DataFrame = {
+    // the slim (id, vector) projection is referenced FOUR times (sizing
+    // count, signature build, two re-attach joins) — persist it once so an
+    // expensive upstream (joins, unions, transforms) is not recomputed per
+    // reference; the count that feeds the sizing then also materializes the
+    // cache, making the sizing scan free
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (bits, tables) sized jointly unless pinned: narrower buckets (higher
     // bits) cut per-table hit probability p^bits, so a FIXED table count
     // silently loses recall as autoBits grows with the corpus; and at a
@@ -287,7 +293,10 @@ object Dedup {
     // same failure-path cache hygiene as minhashLshPairs
     try out.count()
     catch { case ex: Throwable => out.unpersist(blocking = false); throw ex }
-    finally e.unpersist(blocking = false)
+    finally {
+      e.unpersist(blocking = false)
+      vecs.unpersist(blocking = false)
+    }
     out
   }
 

@@ -40,6 +40,17 @@ object Drift {
     * category's namespace.
     */
   val OtherBucket = "\u0001__other__"
+  /** Fails the job loudly if a REAL category value equals the reserved tail
+    * sentinel — a silent merge into the tail bucket would change the
+    * statistic versus the uncapped formula even below the cap. Evaluated on
+    * the (small) grouped distinct-value table, so the guard is free.
+    */
+  private def guardSentinel(v: Column): Column =
+    when(v === lit(OtherBucket), raise_error(lit(
+      "categorical value collides with the reserved tail sentinel " +
+        "\\u0001__other__ — rename or filter it before drift detection")))
+      .otherwise(v)
+
   /** Salt fan-out for the melted top-K ranking in [[detect]]: a column with
     * C distinct categories is ranked in parallel partitions of ≈ C/fanout
     * rows (phase 1), then the ≤ fanout·CatTopK survivors re-rank (phase 2) —
@@ -60,6 +71,7 @@ object Drift {
       .groupBy(col(catCol).cast("string").as("v")).agg(
         sum(when(isBaseline, 1L).otherwise(0L)).as("c1"),
         sum(when(!isBaseline, 1L).otherwise(0L)).as("c2"))
+      .withColumn("v", guardSentinel(col("v")))
       .persist()
     try {
       val top = counts.orderBy(col("c1").desc, col("c2").desc, col("v"))
@@ -209,6 +221,7 @@ object Drift {
         .select(col("nv.name").as("name"), col("nv.v").as("v"), col("s1"), col("s2"))
         .where(col("v").isNotNull)
         .groupBy("name", "v").agg(sum("s1").as("c1"), sum("s2").as("c2"))
+        .withColumn("v", guardSentinel(col("v")))
         .withColumn("vc", when(row_number().over(perSalt) <= CatTopK, col("v"))
           .otherwise(lit(OtherBucket)))
         .groupBy("name", "vc").agg(sum("c1").as("c1"), sum("c2").as("c2"))

@@ -50,6 +50,10 @@ object Ann {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int = 10, bits: Int = 0,
               tables: Int = 0, designCos: Double = 0.9): DataFrame = {
+    // NOT persisted: lshTopK returns a LAZY plan (the caller materializes),
+    // so an internal persist here would leak its cache with no unpersist
+    // point — a caller with an expensive corpus upstream should persist the
+    // corpus itself across query batches (it is the reusable "index" side)
     val cVecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     // (bits, tables) sized jointly unless pinned — same derivation as
     // Dedup.embeddingPairs but with the 1-bit-probe hit rate

@@ -102,6 +102,20 @@ class DriftCapSpec extends GraftSpec {
     assert(chi.p_value == wantP)
   }
 
+  test("a real category equal to the reserved tail sentinel fails loudly, not silently merged") {
+    val df = spark.range(100).select(
+      when(col("id") < 50, lit(Drift.OtherBucket)).otherwise(lit("ok")).as("cat"),
+      (col("id") % 2 === 0).as("is_base"))
+    val e1 = intercept[Exception] { Drift.psiCategorical(df, "cat", col("is_base")) }
+    assert(e1.getMessage.contains("sentinel") ||
+      Option(e1.getCause).exists(_.getMessage.contains("sentinel")), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Drift.detect(df, Seq.empty, Seq("cat"), col("is_base"))
+    }
+    assert(e2.getMessage.contains("sentinel") ||
+      Option(e2.getCause).exists(_.getMessage.contains("sentinel")), e2.getMessage)
+  }
+
   test("Drift.detect at 10^6 distinct categories: bounded collect, no-drift verdict on identical sides") {
     val n = 1000000L
     // both sides carry the SAME 10^6-distinct distribution → any correct
