@@ -361,9 +361,20 @@ object SuiteRunner {
         "include the baseline partition in the input or validate it first"))
     val basePropLen = histProportions(base.lenCounts, base.lenMin, base.lenMax)
 
-    // shared violation jobs, batch-attributed, capped deterministically
+    // shared violation jobs, batch-attributed, capped deterministically.
+    // The deterministic top-cap sample is SALTED two-phase (the Drift
+    // melted-top-K shape): phase 1 keeps the per-(batch, salt) top cap in
+    // 32 parallel partitions, phase 2 re-ranks the ≤ 32·cap survivors — an
+    // adversarially duplicate-heavy batch never sorts all its violation
+    // groups in one task. Exact: a batch-global top-cap row is a fortiori
+    // top-cap within its salt bucket. (Phase 2's per-batch ranking is ≤
+    // 32·cap rows; under streaming the foldable batch_id makes Spark log a
+    // partition-less-window warning for it — bounded rows, harmless.)
     val pendingCode = code.where(col("batch_id").isin(pending: _*))
-    val keyW = Window.partitionBy(col("batch_id")).orderBy(col("repo"), col("path"), col("commit"))
+    val keyOrder = Seq(col("repo"), col("path"), col("commit"))
+    val keySalt = pmod(xxhash64(col("repo"), col("path"), col("commit")), lit(32))
+    val keyW1 = Window.partitionBy(col("batch_id"), keySalt).orderBy(keyOrder: _*)
+    val keyW = Window.partitionBy(col("batch_id")).orderBy(keyOrder: _*)
 
     // Uniqueness, two-phase hash-first: phase 1 shuffles only a 64-bit key
     // hash (not the ~100-byte string triple — 6× less shuffle I/O at 8M
@@ -385,7 +396,9 @@ object SuiteRunner {
       .groupBy("batch_id", "repo", "path", "commit")
       .agg(count(lit(1)).as("dup_count")).where(col("dup_count") > 1)
       .persist()
-    val dupSample = dupViol.withColumn("rn", row_number().over(keyW))
+    val dupSample = dupViol.withColumn("rn", row_number().over(keyW1))
+      .where(col("rn") <= ViolationCap).drop("rn")
+      .withColumn("rn", row_number().over(keyW))
       .where(col("rn") <= ViolationCap).drop("rn")
 
     // referential: the violating (repo, lang) groups are tiny — aggregate
