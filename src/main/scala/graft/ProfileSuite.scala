@@ -49,8 +49,8 @@ object GenBenchInput {
     * holding a different row count is regenerated, never silently measured
     * (parquet count() is footer-stats-only, cheap).
     */
-  def ensure(spark: SparkSession, rows: Long): String = {
-    val pinned = sys.env.get("SPARK_GRAFT_INPUT")
+  def ensure(spark: SparkSession, rows: Long,
+             pinned: Option[String] = sys.env.get("SPARK_GRAFT_INPUT")): String = {
     val out = pinned.getOrElse(s"/tmp/graft_bench_input_$rows")
     // readability probed through Spark's own FS layer (not java.nio, which
     // is blind to hdfs://-style URIs and to data whose _SUCCESS marker was

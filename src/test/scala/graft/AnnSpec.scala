@@ -63,6 +63,21 @@ class AnnSpec extends GraftSpec {
     assert(recall >= 0.9, s"multi-table LSH recall $recall too low")
   }
 
+  test("fully-default lshTopK (joint auto bits+tables) keeps recall on clustered data") {
+    // exercises the (bits=0, tables=0) path end-to-end: corpus count →
+    // autoBitsTables(n, designCos=0.9, 1-bit probe) — for n=500 that is
+    // bits=8 (floor), 3 tables — and the derived index must still find the
+    // same-cluster neighbors brute force finds
+    val e = clustered(500, 16, 10)
+    val q = e.where(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Ann.lshTopK(q, e, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"default-path LSH recall $recall too low")
+  }
+
   test("more tables monotonically add candidate coverage (banding tradeoff)") {
     val e = clustered(300, 16, 10)
     val q = e.where(col("vec_id") < 10)
