@@ -622,6 +622,40 @@ object SparkEntry {
         .orderBy("batch_id", "check")
     }),
 
+    // The STREAMING face of q_suite_counts, inside the same correctness
+    // gate: the identical deterministic table is staged one file per batch,
+    // validated by StreamingValidate micro-batch by micro-batch (audit-
+    // carried baseline between them), and DuckDB recomputes the integer
+    // verdict columns from the same written input — proving batch/streaming
+    // verdict parity against an EXTERNAL oracle, not just self-consistency
+    "q_streaming_suite_counts" -> ((s, dir) => {
+      import s.implicits._
+      val rows = 40000L
+      val inputPath = s"/tmp/graft_oracle/stream_suite_input_$rows"
+      val code = graft.gen.CodeTableGen.generate(s, rows, batches = 2).cache()
+      code.write.mode("overwrite").parquet(inputPath) // the oracle reads this
+      val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_stage").toString
+      (0L to 1L).foreach { b =>
+        code.where(col("batch_id") === b).drop("batch_id").coalesce(1)
+          .write.mode("append").parquet(stageDir)
+        Thread.sleep(1100) // distinct mtimes pin micro-batch order = batch id
+      }
+      code.unpersist()
+      val schema = s.read.parquet(stageDir).schema
+      val io = new graft.tableio.ParquetTableIO(
+        java.nio.file.Files.createTempDirectory("graft_stream_audit").toString)
+      val dim = graft.gen.CodeTableGen.repoLangDim(s)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[graft.suite.Verdict]
+      val q = graft.streaming.StreamingValidate.validateStream(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stageDir),
+        dim, io, onVerdicts = vs => buf.synchronized { buf ++= vs })
+      q.awaitTermination(300000)
+      val countChecks = Set("uniqueness", "referential", "completeness", "sha256_invariant")
+      buf.toSeq.filter(v => countChecks.contains(v.check)).toDF()
+        .select(col("batch_id"), col("check"), col("violation_count"), col("passed"))
+        .orderBy("batch_id", "check")
+    }),
+
     // multimodal feature plumbing (stub decode — no oracle)
     "q_multimodal_features" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.syntheticMedia(s, 1000)
@@ -1209,5 +1243,45 @@ object SparkEntry {
 
     "q_multimodal_check" ->
       """SELECT true AS rows_ok, true AS len_ok,
-                true AS frames_ok, true AS deterministic""")
+                true AS frames_ok, true AS deterministic""",
+
+    // identical recomputation pattern to q_suite_counts, over the input the
+    // STREAMING validator processed (staged per-batch; micro-batch id 0/1
+    // maps onto the input's own batch_id by arrival order)
+    "q_streaming_suite_counts" ->
+      """WITH code AS (
+           SELECT * FROM read_parquet('/tmp/graft_oracle/stream_suite_input_40000/*.parquet')),
+         batches AS (SELECT DISTINCT batch_id FROM code),
+         dup AS (
+           SELECT batch_id, CAST(sum(c - 1) AS BIGINT) AS n
+           FROM (SELECT batch_id, repo, path, commit, count(*) AS c
+                 FROM code GROUP BY 1, 2, 3, 4 HAVING count(*) > 1)
+           GROUP BY 1),
+         refv AS (
+           SELECT batch_id, count(*) AS n FROM code
+           WHERE lang NOT IN ('scala', 'java', 'python', 'go', 'rust', 'markdown')
+           GROUP BY 1),
+         comp AS (
+           SELECT batch_id,
+                  CAST(sum(CASE WHEN path IS NULL OR path = '' THEN 1 ELSE 0 END) AS BIGINT) AS n
+           FROM code GROUP BY 1),
+         sha AS (
+           SELECT batch_id,
+                  CAST(sum(CASE WHEN sha256(content) <> expected_sha256 THEN 1 ELSE 0 END) AS BIGINT) AS n
+           FROM code GROUP BY 1)
+         SELECT * FROM (
+           SELECT b.batch_id, 'completeness' AS "check",
+                  coalesce(c.n, 0) AS violation_count, coalesce(c.n, 0) = 0 AS passed
+           FROM batches b LEFT JOIN comp c USING (batch_id)
+           UNION ALL
+           SELECT b.batch_id, 'referential', CAST(coalesce(r.n, 0) AS BIGINT),
+                  coalesce(r.n, 0) = 0
+           FROM batches b LEFT JOIN refv r USING (batch_id)
+           UNION ALL
+           SELECT b.batch_id, 'sha256_invariant', coalesce(s.n, 0), coalesce(s.n, 0) = 0
+           FROM batches b LEFT JOIN sha s USING (batch_id)
+           UNION ALL
+           SELECT b.batch_id, 'uniqueness', coalesce(d.n, 0), coalesce(d.n, 0) = 0
+           FROM batches b LEFT JOIN dup d USING (batch_id))
+         ORDER BY batch_id, "check"""")
 }
