@@ -622,6 +622,30 @@ object SparkEntry {
         .orderBy("batch_id", "check")
     }),
 
+    // The suite's DRIFT verdict semantics, pinned as an oracled boolean row
+    // (constant-true oracle, q_tdigest pattern): on the deterministic table
+    // the LAST batch is drifted by construction (length scale shift + lang
+    // mix shift), so it must FAIL drift_ks/drift_chisq/drift_psi(lang)
+    // while the undrifted middle batches PASS — the p-valued rows
+    // themselves stay in q_code_suite (rows-only by nature)
+    "q_suite_drift_check" -> ((s, dir) => {
+      import s.implicits._
+      val code = graft.gen.CodeTableGen.generate(s, 100000L, batches = 4)
+      val dim = graft.gen.CodeTableGen.repoLangDim(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q_suite_drift").toString
+      val vs = graft.suite.SuiteRunner.run(s, code, dim, new graft.tableio.ParquetTableIO(tmp))
+      def verdict(b: Long, check: String, colName: String): Option[Boolean] =
+        vs.find(v => v.batch_id == b && v.check == check && v.column == colName).map(_.passed)
+      Seq((
+        verdict(3L, "drift_ks", "content_length").contains(false),
+        verdict(3L, "drift_chisq", "lang").contains(false),
+        verdict(3L, "drift_psi", "lang").contains(false),
+        (1L to 2L).forall(b => verdict(b, "drift_ks", "content_length").contains(true)),
+        (1L to 2L).forall(b => verdict(b, "drift_chisq", "lang").contains(true))))
+        .toDF("drifted_ks_failed", "drifted_chisq_failed", "drifted_psi_failed",
+          "undrifted_ks_passed", "undrifted_chisq_passed")
+    }),
+
     // The STREAMING face of q_suite_counts, inside the same correctness
     // gate: the identical deterministic table is staged one file per batch,
     // validated by StreamingValidate micro-batch by micro-batch (audit-
@@ -1244,6 +1268,11 @@ object SparkEntry {
     "q_multimodal_check" ->
       """SELECT true AS rows_ok, true AS len_ok,
                 true AS frames_ok, true AS deterministic""",
+
+    "q_suite_drift_check" ->
+      """SELECT true AS drifted_ks_failed, true AS drifted_chisq_failed,
+                true AS drifted_psi_failed, true AS undrifted_ks_passed,
+                true AS undrifted_chisq_passed""",
 
     // identical recomputation pattern to q_suite_counts, over the input the
     // STREAMING validator processed (staged per-batch; micro-batch id 0/1
