@@ -35,6 +35,64 @@ object SparkEntry {
 
   private def r(c: Column, n: Int = 4): Column = round(c, n)
 
+  /** One suite run per input size per JVM, shared by the three suite
+    * queries (q_code_suite / q_suite_counts / q_suite_drift_check) — the
+    * generator is deterministic, so re-validating the identical table per
+    * query would only burn driver actions. Verdicts are plain Scala data,
+    * unaffected by Verify's between-query clearCache.
+    */
+  private val suiteVerdictsCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[graft.suite.Verdict]]()
+  private def suiteVerdicts(s: SparkSession, rows: Long): Seq[graft.suite.Verdict] =
+    suiteVerdictsCache.computeIfAbsent(rows, _ => {
+      val code = graft.gen.CodeTableGen.generate(s, rows, batches = 4)
+      val dim = graft.gen.CodeTableGen.repoLangDim(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q_suite").toString
+      graft.suite.SuiteRunner.run(s, code, dim, new graft.tableio.ParquetTableIO(tmp))
+    })
+
+  /** The DuckDB recomputation of the suite's integer verdict columns over a
+    * written copy of the engine's exact input — ONE definition used by both
+    * the batch (q_suite_counts) and streaming (q_streaming_suite_counts)
+    * gates, so the two oracles cannot drift apart.
+    */
+  private def suiteCountsOracleSql(inputGlob: String): String =
+    s"""WITH code AS (
+           SELECT * FROM read_parquet('$inputGlob')),
+         batches AS (SELECT DISTINCT batch_id FROM code),
+         dup AS (
+           SELECT batch_id, CAST(sum(c - 1) AS BIGINT) AS n
+           FROM (SELECT batch_id, repo, path, commit, count(*) AS c
+                 FROM code GROUP BY 1, 2, 3, 4 HAVING count(*) > 1)
+           GROUP BY 1),
+         refv AS (
+           SELECT batch_id, count(*) AS n FROM code
+           WHERE lang NOT IN ('scala', 'java', 'python', 'go', 'rust', 'markdown')
+           GROUP BY 1),
+         comp AS (
+           SELECT batch_id,
+                  CAST(sum(CASE WHEN path IS NULL OR path = '' THEN 1 ELSE 0 END) AS BIGINT) AS n
+           FROM code GROUP BY 1),
+         sha AS (
+           SELECT batch_id,
+                  CAST(sum(CASE WHEN sha256(content) <> expected_sha256 THEN 1 ELSE 0 END) AS BIGINT) AS n
+           FROM code GROUP BY 1)
+         SELECT * FROM (
+           SELECT b.batch_id, 'completeness' AS "check",
+                  coalesce(c.n, 0) AS violation_count, coalesce(c.n, 0) = 0 AS passed
+           FROM batches b LEFT JOIN comp c USING (batch_id)
+           UNION ALL
+           SELECT b.batch_id, 'referential', CAST(coalesce(r.n, 0) AS BIGINT),
+                  coalesce(r.n, 0) = 0
+           FROM batches b LEFT JOIN refv r USING (batch_id)
+           UNION ALL
+           SELECT b.batch_id, 'sha256_invariant', coalesce(s.n, 0), coalesce(s.n, 0) = 0
+           FROM batches b LEFT JOIN sha s USING (batch_id)
+           UNION ALL
+           SELECT b.batch_id, 'uniqueness', coalesce(d.n, 0), coalesce(d.n, 0) = 0
+           FROM batches b LEFT JOIN dup d USING (batch_id))
+         ORDER BY batch_id, "check""""
+
   /** Perturbed near-duplicate corpus: documents ∪ copies of the first 50
     * docs with the last word dropped (deterministic near-dups for the
     * minhash/simhash/jaccard pipelines).
@@ -585,15 +643,14 @@ object SparkEntry {
     }),
 
     // ===== engine suite over the synthetic code table (no oracle) =====
+    // (the three suite queries below share ONE memoized run per input size
+    // — see suiteVerdicts — instead of re-validating the identical
+    // deterministic table per query)
 
     "q_code_suite" -> ((s, dir) => {
       import s.implicits._
       val rows = if (dir.contains("0.001")) 20000L else 100000L
-      val code = graft.gen.CodeTableGen.generate(s, rows, batches = 4)
-      val dim = graft.gen.CodeTableGen.repoLangDim(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q_suite").toString
-      val verdicts = graft.suite.SuiteRunner.run(s, code, dim, new graft.tableio.ParquetTableIO(tmp))
-      verdicts.toDF()
+      suiteVerdicts(s, rows).toDF()
         .withColumn("metric", r(col("metric"), 6))
         .withColumn("p_value", r(col("p_value"), 6))
         .orderBy("batch_id", "check", "column")
@@ -608,16 +665,11 @@ object SparkEntry {
       // FIXED input size at any sf: the oracle SQL reads this exact path,
       // so the query and the oracle must agree on it unconditionally
       val rows = 100000L
-      val inputPath = s"/tmp/graft_oracle/suite_input_$rows"
       graft.gen.CodeTableGen.generate(s, rows, batches = 4)
-        .write.mode("overwrite").parquet(inputPath)
-      val dim = graft.gen.CodeTableGen.repoLangDim(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q_suite_counts").toString
-      val verdicts = graft.suite.SuiteRunner.run(s, s.read.parquet(inputPath), dim,
-        new graft.tableio.ParquetTableIO(tmp))
+        .write.mode("overwrite").parquet(s"/tmp/graft_oracle/suite_input_$rows")
       import s.implicits._
       val countChecks = Set("uniqueness", "referential", "completeness", "sha256_invariant")
-      verdicts.filter(v => countChecks.contains(v.check)).toDF()
+      suiteVerdicts(s, rows).filter(v => countChecks.contains(v.check)).toDF()
         .select(col("batch_id"), col("check"), col("violation_count"), col("passed"))
         .orderBy("batch_id", "check")
     }),
@@ -630,10 +682,7 @@ object SparkEntry {
     // themselves stay in q_code_suite (rows-only by nature)
     "q_suite_drift_check" -> ((s, dir) => {
       import s.implicits._
-      val code = graft.gen.CodeTableGen.generate(s, 100000L, batches = 4)
-      val dim = graft.gen.CodeTableGen.repoLangDim(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q_suite_drift").toString
-      val vs = graft.suite.SuiteRunner.run(s, code, dim, new graft.tableio.ParquetTableIO(tmp))
+      val vs = suiteVerdicts(s, 100000L)
       def verdict(b: Long, check: String, colName: String): Option[Boolean] =
         vs.find(v => v.batch_id == b && v.check == check && v.column == colName).map(_.passed)
       Seq((
@@ -662,7 +711,9 @@ object SparkEntry {
       (0L to 1L).foreach { b =>
         code.where(col("batch_id") === b).drop("batch_id").coalesce(1)
           .write.mode("append").parquet(stageDir)
-        Thread.sleep(1100) // distinct mtimes pin micro-batch order = batch id
+        // distinct mtimes pin micro-batch order = batch id; only the gap
+        // BETWEEN files matters, nothing consumes a trailing one
+        if (b < 1L) Thread.sleep(1100)
       }
       code.unpersist()
       val schema = s.read.parquet(stageDir).schema
@@ -673,9 +724,17 @@ object SparkEntry {
       val q = graft.streaming.StreamingValidate.validateStream(
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stageDir),
         dim, io, onVerdicts = vs => buf.synchronized { buf ++= vs })
-      q.awaitTermination(300000)
+      // a timed-out drain must FAIL LOUDLY (and stop the query) — falling
+      // through with partial verdicts would read as a parity failure and
+      // leave the stream running jobs under later Verify queries
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("streaming suite did not drain within 300s")
+      }
       val countChecks = Set("uniqueness", "referential", "completeness", "sha256_invariant")
-      buf.toSeq.filter(v => countChecks.contains(v.check)).toDF()
+      // synchronized read: awaitTermination's contract gives no
+      // happens-before edge with the foreachBatch thread's appends
+      buf.synchronized(buf.toList).filter(v => countChecks.contains(v.check)).toDF()
         .select(col("batch_id"), col("check"), col("violation_count"), col("passed"))
         .orderBy("batch_id", "check")
     }),
@@ -1229,41 +1288,7 @@ object SparkEntry {
     // input the engine validated (written by the query itself): violation
     // counts for the four count-based checks, per batch
     "q_suite_counts" ->
-      """WITH code AS (
-           SELECT * FROM read_parquet('/tmp/graft_oracle/suite_input_100000/*.parquet')),
-         batches AS (SELECT DISTINCT batch_id FROM code),
-         dup AS (
-           SELECT batch_id, CAST(sum(c - 1) AS BIGINT) AS n
-           FROM (SELECT batch_id, repo, path, commit, count(*) AS c
-                 FROM code GROUP BY 1, 2, 3, 4 HAVING count(*) > 1)
-           GROUP BY 1),
-         refv AS (
-           SELECT batch_id, count(*) AS n FROM code
-           WHERE lang NOT IN ('scala', 'java', 'python', 'go', 'rust', 'markdown')
-           GROUP BY 1),
-         comp AS (
-           SELECT batch_id,
-                  CAST(sum(CASE WHEN path IS NULL OR path = '' THEN 1 ELSE 0 END) AS BIGINT) AS n
-           FROM code GROUP BY 1),
-         sha AS (
-           SELECT batch_id,
-                  CAST(sum(CASE WHEN sha256(content) <> expected_sha256 THEN 1 ELSE 0 END) AS BIGINT) AS n
-           FROM code GROUP BY 1)
-         SELECT * FROM (
-           SELECT b.batch_id, 'completeness' AS "check",
-                  coalesce(c.n, 0) AS violation_count, coalesce(c.n, 0) = 0 AS passed
-           FROM batches b LEFT JOIN comp c USING (batch_id)
-           UNION ALL
-           SELECT b.batch_id, 'referential', CAST(coalesce(r.n, 0) AS BIGINT),
-                  coalesce(r.n, 0) = 0
-           FROM batches b LEFT JOIN refv r USING (batch_id)
-           UNION ALL
-           SELECT b.batch_id, 'sha256_invariant', coalesce(s.n, 0), coalesce(s.n, 0) = 0
-           FROM batches b LEFT JOIN sha s USING (batch_id)
-           UNION ALL
-           SELECT b.batch_id, 'uniqueness', coalesce(d.n, 0), coalesce(d.n, 0) = 0
-           FROM batches b LEFT JOIN dup d USING (batch_id))
-         ORDER BY batch_id, "check"""",
+      suiteCountsOracleSql("/tmp/graft_oracle/suite_input_100000/*.parquet"),
 
     "q_multimodal_check" ->
       """SELECT true AS rows_ok, true AS len_ok,
@@ -1278,39 +1303,5 @@ object SparkEntry {
     // STREAMING validator processed (staged per-batch; micro-batch id 0/1
     // maps onto the input's own batch_id by arrival order)
     "q_streaming_suite_counts" ->
-      """WITH code AS (
-           SELECT * FROM read_parquet('/tmp/graft_oracle/stream_suite_input_40000/*.parquet')),
-         batches AS (SELECT DISTINCT batch_id FROM code),
-         dup AS (
-           SELECT batch_id, CAST(sum(c - 1) AS BIGINT) AS n
-           FROM (SELECT batch_id, repo, path, commit, count(*) AS c
-                 FROM code GROUP BY 1, 2, 3, 4 HAVING count(*) > 1)
-           GROUP BY 1),
-         refv AS (
-           SELECT batch_id, count(*) AS n FROM code
-           WHERE lang NOT IN ('scala', 'java', 'python', 'go', 'rust', 'markdown')
-           GROUP BY 1),
-         comp AS (
-           SELECT batch_id,
-                  CAST(sum(CASE WHEN path IS NULL OR path = '' THEN 1 ELSE 0 END) AS BIGINT) AS n
-           FROM code GROUP BY 1),
-         sha AS (
-           SELECT batch_id,
-                  CAST(sum(CASE WHEN sha256(content) <> expected_sha256 THEN 1 ELSE 0 END) AS BIGINT) AS n
-           FROM code GROUP BY 1)
-         SELECT * FROM (
-           SELECT b.batch_id, 'completeness' AS "check",
-                  coalesce(c.n, 0) AS violation_count, coalesce(c.n, 0) = 0 AS passed
-           FROM batches b LEFT JOIN comp c USING (batch_id)
-           UNION ALL
-           SELECT b.batch_id, 'referential', CAST(coalesce(r.n, 0) AS BIGINT),
-                  coalesce(r.n, 0) = 0
-           FROM batches b LEFT JOIN refv r USING (batch_id)
-           UNION ALL
-           SELECT b.batch_id, 'sha256_invariant', coalesce(s.n, 0), coalesce(s.n, 0) = 0
-           FROM batches b LEFT JOIN sha s USING (batch_id)
-           UNION ALL
-           SELECT b.batch_id, 'uniqueness', coalesce(d.n, 0), coalesce(d.n, 0) = 0
-           FROM batches b LEFT JOIN dup d USING (batch_id))
-         ORDER BY batch_id, "check"""")
+      suiteCountsOracleSql("/tmp/graft_oracle/stream_suite_input_40000/*.parquet"))
 }

@@ -24,7 +24,9 @@ class StreamingValidateSpec extends GraftSpec {
     (0L to 1L).foreach { b =>
       code.where(col("batch_id") === b).drop("batch_id").coalesce(1)
         .write.mode("append").parquet(dir)
-      Thread.sleep(1100) // distinct mtimes pin the file-source arrival order
+      // distinct mtimes pin the file-source arrival order (gap only needed
+      // BETWEEN files)
+      if (b < 1L) Thread.sleep(1100)
     }
     val schema = spark.read.parquet(dir).schema
 
