@@ -83,7 +83,14 @@ object Bench {
           // call would leak its predecessor's cached blocks
           spark.catalog.clearCache()
           try time(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
-          catch { case _: Throwable => -1.0 }
+          catch {
+            case e: Throwable =>
+              // a broken query must not bench as a silent "-1.0 s": keep the
+              // JSON shape (Verify is the correctness gate) but say so loudly
+              System.err.println(
+                s"BENCH WARNING: $name failed with ${e.getClass.getName}: ${e.getMessage}")
+              -1.0
+          }
         }
         val cold = once()
         val warm = once()

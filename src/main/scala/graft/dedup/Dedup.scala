@@ -256,47 +256,55 @@ object Dedup {
     // cache, making the sizing scan free
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // (bits, tables) sized jointly unless pinned: narrower buckets (higher
-    // bits) cut per-table hit probability p^bits, so a FIXED table count
-    // silently loses recall as autoBits grows with the corpus; and at a
-    // loose threshold the table budget can bind, in which case the
-    // signature narrows instead ([[autoBitsTables]]) — default-path recall
-    // stays ≥ 0.9 at this query's own cosine threshold
-    val (b, nt) = (bits, tables) match {
-      case (0, 0)          => autoBitsTables(vecs.count(), threshold)
-      case (0, t)          => (autoBits(vecs.count()), t)
-      case (bb, 0)         => (bb, autoTables(bb, threshold))
-      case (bb, t)         => (bb, t)
-    }
-    val sigs = (0 until nt).map(t =>
-      struct(lit(t).as("t"), signLshSignature(col("v"), b, t).as("sig")))
-    // band join carries ONLY (t, sig, id) — at 100 TB of embeddings the
-    // vectors are the payload, and shuffling them through the bucket
-    // self-join on BOTH sides × tables dwarfs everything else; they are
-    // re-attached to the (tiny) deduplicated candidate set instead. The
-    // compact (id, t, sig) table is persisted so the hyperplane dot
-    // products are computed once, not once per join side.
-    val e = vecs.select(col("id"), explode(array(sigs: _*)).as("ts"))
-      .select(col("id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = e.select(col("t"), col("sig"), col("id").as("id1"))
-    val r = e.select(col("t"), col("sig"), col("id").as("id2"))
-    val cand = l.join(r, Seq("t", "sig")).where(col("id1") < col("id2"))
-      .select("id1", "id2").dropDuplicates("id1", "id2")
-    val out = cand
-      .join(vecs.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
-      .join(vecs.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
-      .withColumn("cosine", cosine(col("v1"), col("v2")))
-      .where(col("cosine") >= threshold)
-      .select("id1", "id2", "cosine")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // same failure-path cache hygiene as minhashLshPairs
-    try out.count()
-    catch { case ex: Throwable => out.unpersist(blocking = false); throw ex }
-    finally {
-      e.unpersist(blocking = false)
-      vecs.unpersist(blocking = false)
-    }
+    // the try/finally starts IMMEDIATELY after the first persist: the sizing
+    // count or plan construction below can throw, and the caller has no
+    // handle to unpersist vecs/e on that path — same hygiene as `out`
+    var e: DataFrame = null
+    val out =
+      try {
+        // (bits, tables) sized jointly unless pinned: narrower buckets
+        // (higher bits) cut per-table hit probability p^bits, so a FIXED
+        // table count silently loses recall as autoBits grows with the
+        // corpus; and at a loose threshold the table budget can bind, in
+        // which case the signature narrows instead ([[autoBitsTables]]) —
+        // default-path recall stays ≥ 0.9 at this query's cosine threshold
+        val (b, nt) = (bits, tables) match {
+          case (0, 0)          => autoBitsTables(vecs.count(), threshold)
+          case (0, t)          => (autoBits(vecs.count()), t)
+          case (bb, 0)         => (bb, autoTables(bb, threshold))
+          case (bb, t)         => (bb, t)
+        }
+        val sigs = (0 until nt).map(t =>
+          struct(lit(t).as("t"), signLshSignature(col("v"), b, t).as("sig")))
+        // band join carries ONLY (t, sig, id) — at 100 TB of embeddings the
+        // vectors are the payload, and shuffling them through the bucket
+        // self-join on BOTH sides × tables dwarfs everything else; they are
+        // re-attached to the (tiny) deduplicated candidate set instead. The
+        // compact (id, t, sig) table is persisted so the hyperplane dot
+        // products are computed once, not once per join side.
+        e = vecs.select(col("id"), explode(array(sigs: _*)).as("ts"))
+          .select(col("id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val l = e.select(col("t"), col("sig"), col("id").as("id1"))
+        val r = e.select(col("t"), col("sig"), col("id").as("id2"))
+        val cand = l.join(r, Seq("t", "sig")).where(col("id1") < col("id2"))
+          .select("id1", "id2").dropDuplicates("id1", "id2")
+        val o = cand
+          .join(vecs.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
+          .join(vecs.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
+          .withColumn("cosine", cosine(col("v1"), col("v2")))
+          .where(col("cosine") >= threshold)
+          .select("id1", "id2", "cosine")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // materialize so the intermediates can be dropped deterministically
+        // (same failure-path cache hygiene as minhashLshPairs)
+        try o.count()
+        catch { case ex: Throwable => o.unpersist(blocking = false); throw ex }
+        o
+      } finally {
+        if (e != null) e.unpersist(blocking = false)
+        vecs.unpersist(blocking = false)
+      }
     out
   }
 
@@ -326,14 +334,31 @@ object Dedup {
     */
   def autoTables(bits: Int, threshold: Double, targetRecall: Double = 0.9,
                  oneBitProbe: Boolean = false): Int = {
-    val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
-    val pb = math.pow(p, bits)
-    val hit = math.min(1.0 - 1e-12,
-      if (oneBitProbe) pb + bits * (1.0 - p) * math.pow(p, bits - 1) else pb)
+    val hit = tableHitRate(bits, threshold, oneBitProbe)
     if (hit >= targetRecall) 1
     else math.min(MaxTables, math.max(1,
       math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - hit)).toInt))
   }
+
+  /** Probability that a pair at the design cosine lands in the same bucket
+    * of ONE table: p^bits, plus bits·(1−p)·p^(bits−1) when the consumer also
+    * probes all 1-bit flips (p = 1 − acosθ/π per hyperplane).
+    */
+  private def tableHitRate(bits: Int, threshold: Double, oneBitProbe: Boolean): Double = {
+    val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    val pb = math.pow(p, bits)
+    math.min(1.0 - 1e-12,
+      if (oneBitProbe) pb + bits * (1.0 - p) * math.pow(p, bits - 1) else pb)
+  }
+
+  /** Analytic candidate recall of a (bits, tables) configuration at the
+    * design cosine: 1 − (1 − hit)^tables. This is the number
+    * [[autoBitsTables]] guarantees ≥ targetRecall inside its validity
+    * region, and the number it LOGS when the region is left.
+    */
+  def analyticRecall(bits: Int, tables: Int, threshold: Double,
+                     oneBitProbe: Boolean = false): Double =
+    1.0 - math.pow(1.0 - tableHitRate(bits, threshold, oneBitProbe), tables)
 
   /** Table-count budget: band rows (and bucket-join traffic) scale linearly
     * with tables, so the count is capped and [[autoBitsTables]] narrows the
@@ -353,7 +378,10 @@ object Dedup {
     * (12 bits, 52 tables), both with analytic recall ≥ 0.9. The invariant
     * holds for any threshold ≥ ~0.45; below that even 8-bit signatures
     * cannot fit the budget and the clamped count (with its reduced recall)
-    * is the best available — pin bits/tables explicitly in that regime.
+    * is the best available — that regime is NOT silent: the achieved
+    * [[analyticRecall]] is computed and a loud warning logged (callers
+    * wanting the full target there must pin bits/tables explicitly, e.g.
+    * fewer bits + accepting bigger buckets, or raise [[MaxTables]]).
     */
   def autoBitsTables(n: Long, threshold: Double, targetRecall: Double = 0.9,
                      oneBitProbe: Boolean = false): (Int, Int) = {
@@ -362,7 +390,16 @@ object Dedup {
     // exact fit is harmless, recall only rises as buckets widen
     var b = autoBits(n)
     while (b > 8 && autoTables(b, threshold, targetRecall, oneBitProbe) >= MaxTables) b -= 1
-    (b, autoTables(b, threshold, targetRecall, oneBitProbe))
+    val t = autoTables(b, threshold, targetRecall, oneBitProbe)
+    val recall = analyticRecall(b, t, threshold, oneBitProbe)
+    if (recall < targetRecall)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"autoBitsTables(n=$n, threshold=$threshold): even the narrowest " +
+          s"signature (bits=$b) cannot reach targetRecall=$targetRecall " +
+          s"within the MaxTables=$MaxTables budget — returning the clamped " +
+          s"(bits=$b, tables=$t) with analytic recall ${"%.3f".format(recall)}; " +
+          "pin bits/tables explicitly in this loose-threshold regime")
+    (b, t)
   }
 
   /** Sign-LSH signature: bit j = sign(v · r_j) where r_j is a deterministic

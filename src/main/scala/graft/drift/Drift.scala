@@ -31,9 +31,12 @@ object Drift {
   /** Driver-side category cap: every categorical check collects at most
     * this many categories per column (ranked by baseline count, ties broken
     * deterministically) plus ONE aggregated tail bucket. Below the cap the
-    * result is bit-identical to the uncapped formula; above it the verdict
-    * is the capped formula's (the same LenCardCap hazard class the suite
-    * already bounds — a 10^6-distinct categorical must not OOM the driver).
+    * result is identical to the uncapped formula up to floating-point
+    * summation ORDER (the capped path ranks categories baseline-count-desc,
+    * so the PSI/chi-square sums may differ in the last ulp from an
+    * arbitrary-order evaluation); above it the verdict is the capped
+    * formula's (the same LenCardCap hazard class the suite already bounds —
+    * a 10^6-distinct categorical must not OOM the driver).
     */
   val CatTopK = 1000
   /** Tail-bucket label; the \u0001 prefix keeps it out of any real

@@ -46,20 +46,33 @@ object Ann {
     * when `tables` is left at 0 the table count derives from it
     * ([[Dedup.autoTables]], 1-bit-probe variant) so recall at the design
     * point stays ≥ 0.9 as `autoBits` widens signatures with corpus size.
+    *
+    * Evaluation contract (the function returns a LAZY plan):
+    *  - `corpus` is referenced by the signature build, the bucket join and
+    *    the candidate re-attach; `queries` is referenced TWICE (probe build
+    *    and score re-attach). An expensive upstream on either side should be
+    *    persisted by the caller — the corpus usually is anyway (it is the
+    *    reusable "index" side across query batches).
+    *  - when `bits` is left at 0 the sizing needs a corpus row count, which
+    *    triggers ONE eager count job over `corpus` at call time (an extra
+    *    evaluation of an unpersisted upstream). Pass `corpusCount` to skip
+    *    that job when the caller already knows the size.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int = 10, bits: Int = 0,
-              tables: Int = 0, designCos: Double = 0.9): DataFrame = {
+              tables: Int = 0, designCos: Double = 0.9,
+              corpusCount: Long = -1L): DataFrame = {
     // NOT persisted: lshTopK returns a LAZY plan (the caller materializes),
     // so an internal persist here would leak its cache with no unpersist
     // point — a caller with an expensive corpus upstream should persist the
     // corpus itself across query batches (it is the reusable "index" side)
     val cVecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    def n(): Long = if (corpusCount >= 0) corpusCount else cVecs.count()
     // (bits, tables) sized jointly unless pinned — same derivation as
     // Dedup.embeddingPairs but with the 1-bit-probe hit rate
     val (b, nt) = (bits, tables) match {
-      case (0, 0)  => Dedup.autoBitsTables(cVecs.count(), designCos, oneBitProbe = true)
-      case (0, t)  => (Dedup.autoBits(cVecs.count()), t)
+      case (0, 0)  => Dedup.autoBitsTables(n(), designCos, oneBitProbe = true)
+      case (0, t)  => (Dedup.autoBits(n()), t)
       case (bb, 0) => (bb, Dedup.autoTables(bb, designCos, oneBitProbe = true))
       case (bb, t) => (bb, t)
     }

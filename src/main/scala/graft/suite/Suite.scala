@@ -344,8 +344,13 @@ object SuiteRunner {
     // snapshot instead of re-scanning the baseline partition, so an
     // incremental run touches ONLY pending batches (and keeps working even
     // when the input no longer carries the baseline partition)
+    // version gate: artifact rows are a WIRE FORMAT (shaSamples changed
+    // NUL-joined → JSON in graft-0.3); a snapshot committed by a different
+    // suite version is ignored and the baseline recomputed from the input
+    // rather than silently mis-parsed
     val baselineFromAudit: Option[BatchArtifacts] =
-      if (!io.isCommitted("artifacts", baselineBatch)) None
+      if (!io.commitMeta("artifacts", baselineBatch)
+            .exists(_.contains(s""""suite":"$SuiteVersion""""))) None
       else io.readCommitted(spark, "artifacts").flatMap { df =>
         df.where(col("batch_id") === baselineBatch).as[ArtifactRow]
           .collect().headOption.map(fromRow)
@@ -582,7 +587,8 @@ object SuiteRunner {
       val a = arts(b)
       allViolations.foreach { case (name, _) => io.commit(s"violations_$name", b, s"""{"batch_id":$b}""") }
       io.commit("sketches", b, s"""{"batch_id":$b}""")
-      io.commit("artifacts", b, s"""{"batch_id":$b}""")
+      // artifacts carry the writer's suite version: reload is version-gated
+      io.commit("artifacts", b, s"""{"batch_id":$b,"suite":"$SuiteVersion"}""")
       io.commit("repo_metrics", b, s"""{"batch_id":$b}""")
       io.commit("lineage", b, s"""{"batch_id":$b}""")
       io.commit("verdicts", b,

@@ -21,6 +21,11 @@ trait TableIO {
     */
   def writeAllPartitions(df: DataFrame, table: String): Unit
   def commit(table: String, partition: Long, meta: String): Unit
+  /** The meta string recorded by [[commit]] for a partition, if committed —
+    * consumers use it to version-gate reloaded snapshots (a wire-format
+    * change in a persisted artifact must not be parsed by a newer reader).
+    */
+  def commitMeta(table: String, partition: Long): Option[String]
   def listCommitted(table: String): Seq[Long]
   def isCommitted(table: String, partition: Long): Boolean =
     listCommitted(table).contains(partition)
@@ -50,6 +55,11 @@ class ParquetTableIO(root: String) extends TableIO {
     Files.writeString(tmp, meta)
     Files.move(tmp, manifestDir(table).resolve(s"p$partition.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def commitMeta(table: String, partition: Long): Option[String] = {
+    val f = manifestDir(table).resolve(s"p$partition.json")
+    if (Files.isRegularFile(f)) Some(Files.readString(f)) else None
   }
 
   override def listCommitted(table: String): Seq[Long] = {

@@ -143,4 +143,34 @@ class DedupSpec extends GraftSpec {
       assert(t <= Dedup.MaxTables)
     }
   }
+
+  test("autoBitsTables below its validity floor: clamped config, honest analyticRecall, in-range recovery") {
+    // below threshold ~0.45 even the 8-bit floor cannot reach the 0.9
+    // target within the 64-table budget — the derivation returns the best
+    // clamped configuration (8 bits, MaxTables) and analyticRecall reports
+    // the TRUE reduced recall it achieves (a loud warning is logged; the
+    // property here is that the reported number is honest and monotone)
+    for (thr <- Seq(0.30, 0.35, 0.40, 0.44)) {
+      val (b, t) = Dedup.autoBitsTables(1L << 40, thr)
+      assert(b == 8 && t == Dedup.MaxTables, s"thr=$thr -> ($b, $t)")
+      val r = Dedup.analyticRecall(b, t, thr)
+      assert(r < 0.9, s"thr=$thr claims in-target recall $r from a clamped config")
+      // the clamp is still the best available point: any NARROWER signature
+      // at the same budget only lowers recall
+      for (bb <- 9 to 24)
+        assert(Dedup.analyticRecall(bb, Dedup.MaxTables, thr) <= r + 1e-12)
+    }
+    // recall is monotone in threshold and re-enters the >=0.9 region by
+    // ~0.478 (solve 1-(1-p^8)^64 = 0.9 for p, then theta = cos(pi(1-p)))
+    val rs = Seq(0.30, 0.35, 0.40, 0.45, 0.48).map { thr =>
+      val (b, t) = Dedup.autoBitsTables(1L << 40, thr)
+      Dedup.analyticRecall(b, t, thr)
+    }
+    assert(rs.zip(rs.tail).forall { case (a, c) => a <= c + 1e-12 }, rs.toString)
+    assert(rs.last >= 0.9, s"threshold 0.48 should be inside the validity region: ${rs.last}")
+    // analyticRecall matches the numbers autoTables is derived from in the
+    // valid regime (sanity tie between the two public functions)
+    val (b95, t95) = Dedup.autoBitsTables(1L << 40, 0.95)
+    assert(Dedup.analyticRecall(b95, t95, 0.95) >= 0.9)
+  }
 }

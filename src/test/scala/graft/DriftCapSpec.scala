@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** The categorical drift checks must stay driver-safe at ANY category
   * cardinality: every consumer collects at most topK+1 rows per column
   * (top-K by baseline count + one aggregated tail bucket). These tests pin
-  * (a) exact equality with the uncapped formula below the cap, (b) exact
+  * (a) equality with the uncapped formula below the cap (up to float
+  * summation order — the capped path ranks categories differently), (b)
   * equality with the locally-computed CAPPED formula above it, and (c)
   * bounded completion with a correct verdict at 10^6 distinct categories.
   */
@@ -60,10 +61,11 @@ class DriftCapSpec extends GraftSpec {
     // map-iteration order changes the float summation order: relative tol
     assert(math.abs(stat - want) / want < 1e-12, s"got $stat want $want")
     assert(dof == topK) // topK categories + tail bucket − 1
-    assert(p == DriftMath.chiSquarePValue(want, topK))
+    val wantP = DriftMath.chiSquarePValue(want, topK)
+    assert(math.abs(p - wantP) <= 1e-9, s"got $p want $wantP")
   }
 
-  test("below the cap the capped path is bit-identical to the uncapped formula") {
+  test("below the cap the capped path equals the uncapped formula (up to float summation order)") {
     // 6 categories — the suite's lang-like case
     val df = spark.range(6000).select(
       concat(lit("k"), pmod(col("id"), lit(6))).as("cat"),
@@ -77,7 +79,12 @@ class DriftCapSpec extends GraftSpec {
     val n2 = rows.map(_.getLong(2)).sum.toDouble
     val wantPsi = DriftMath.psi(rows.map(_.getLong(1) / n1).toSeq,
       rows.map(_.getLong(2) / n2).toSeq)
-    assert(Drift.psiCategorical(df, "cat", col("is_base")) == wantPsi)
+    // the capped path sums categories in baseline-count-desc order, the
+    // reference above in value order — identical terms, so equal up to
+    // floating-point summation order only
+    val got = Drift.psiCategorical(df, "cat", col("is_base"))
+    assert(math.abs(got - wantPsi) <= 1e-12 * math.max(1.0, math.abs(wantPsi)),
+      s"got $got want $wantPsi")
   }
 
   test("detect's salted melted top-K equals the locally computed capped formula above the cap") {
@@ -99,7 +106,7 @@ class DriftCapSpec extends GraftSpec {
     val chi = rep.feature_drift.find(_.test == "chisq").get
     assert(math.abs(chi.statistic - wantStat) / wantStat < 1e-12,
       s"got ${chi.statistic} want $wantStat")
-    assert(chi.p_value == wantP)
+    assert(math.abs(chi.p_value - wantP) <= 1e-9, s"got ${chi.p_value} want $wantP")
   }
 
   test("a real category equal to the reserved tail sentinel fails loudly, not silently merged") {

@@ -40,6 +40,9 @@ class StreamingValidateSpec extends GraftSpec {
         streamed ++= vs.map(v => (v.batch_id, v.check, v.column, v.metric, v.passed))
       })
     assert(q.awaitTermination(300000), "stream must drain and stop")
+    // read under the SAME monitor the foreachBatch thread appends under:
+    // awaitTermination gives no happens-before edge with that thread
+    val streamedSnap = synchronized(streamed)
 
     // both micro-batches committed; batch 1 validated against batch 0's
     // audit-loaded baseline (its own micro-batch no longer sees batch 0)
@@ -54,22 +57,22 @@ class StreamingValidateSpec extends GraftSpec {
       java.nio.file.Files.createTempDirectory("graft_sv_audit_b").toString)
     val batch = SuiteRunner.run(spark, code, dim, ioB)
       .map(v => (v.batch_id, v.check, v.column, v.metric, v.passed))
-    val sKeys = streamed.map(v => (v._1, v._2, v._3)).toSet
+    val sKeys = streamedSnap.map(v => (v._1, v._2, v._3)).toSet
     val bKeys = batch.map(v => (v._1, v._2, v._3)).toSet
     assert(sKeys == bKeys, s"verdict row sets diverge: ${(sKeys diff bKeys) ++ (bKeys diff sKeys)}")
     val bByKey = batch.map(v => (v._1, v._2, v._3) -> v).toMap
-    streamed.foreach { s =>
+    streamedSnap.foreach { s =>
       val b = bByKey((s._1, s._2, s._3))
       assert(s._5 == b._5, s"passed diverges on ${(s._1, s._2, s._3)}: $s vs $b")
       val tol = 1e-9 * math.max(1.0, math.abs(b._4))
       assert(math.abs(s._4 - b._4) <= tol,
         s"metric diverges on ${(s._1, s._2, s._3)}: ${s._4} vs ${b._4}")
     }
-    assert(streamed.nonEmpty && streamed.exists(v => v._1 == 1L && v._2.startsWith("drift")))
+    assert(streamedSnap.nonEmpty && streamedSnap.exists(v => v._1 == 1L && v._2.startsWith("drift")))
 
     // restart over the same source + audit dir: everything already
     // committed, so the resumed stream validates nothing new
-    val before = streamed.size
+    val before = streamedSnap.size
     val q2 = StreamingValidate.validateStream(
       spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir),
       dim, ioS,
@@ -77,7 +80,8 @@ class StreamingValidateSpec extends GraftSpec {
         streamed ++= vs.map(v => (v.batch_id, v.check, v.column, v.metric, v.passed))
       })
     assert(q2.awaitTermination(300000), "restarted stream must drain and stop")
-    assert(streamed.size == before, "restart must not re-validate committed batches")
+    assert(synchronized(streamed).size == before,
+      "restart must not re-validate committed batches")
     code.unpersist()
   }
 }
