@@ -61,90 +61,173 @@ object Drift {
     */
   val CatSaltFanout = 32
 
-  /** Per-column category counts on both sides, capped to `topK` categories
-    * (by baseline count desc, then current count desc, then value) + one
-    * aggregated [[OtherBucket]] tail row. Top-K extraction is a sort+limit
-    * (TakeOrderedAndProject: per-partition top-K, merged on the driver —
-    * no global window, no full sort) and the tail comes from grand totals
-    * minus the top — the driver only ever sees ≤ topK+1 rows per column.
-    */
-  private def cappedCatCounts(df: DataFrame, catCol: String, isBaseline: Column,
-                              topK: Int): Array[(String, Long, Long)] = {
-    val counts = df.where(col(catCol).isNotNull)
-      .groupBy(col(catCol).cast("string").as("v")).agg(
-        sum(when(isBaseline, 1L).otherwise(0L)).as("c1"),
-        sum(when(!isBaseline, 1L).otherwise(0L)).as("c2"))
-      .withColumn("v", guardSentinel(col("v")))
-      .persist()
-    try {
-      val top = counts.orderBy(col("c1").desc, col("c2").desc, col("v"))
-        .limit(topK).collect()
-        .map(r => (r.getString(0), r.getAs[Long]("c1"), r.getAs[Long]("c2")))
-      val tot = counts.agg(sum("c1"), sum("c2")).collect()(0)
-      val (t1, t2) = (Option(tot.getAs[Any](0)).fold(0L)(_.asInstanceOf[Long]),
-        Option(tot.getAs[Any](1)).fold(0L)(_.asInstanceOf[Long]))
-      val (o1, o2) = (t1 - top.map(_._2).sum, t2 - top.map(_._3).sum)
-      if (o1 == 0 && o2 == 0) top else top :+ ((OtherBucket, o1, o2))
-    } finally counts.unpersist()
-  }
-
   /** |Δmean| / ref_std, 0 when ref_std == 0 or undefined (DESIGN.md:569). */
   def meanDifference(refMean: Double, refStd: Double, curMean: Double): Double =
     if (refStd.isNaN || refStd == 0.0 || refMean.isNaN || curMean.isNaN) 0.0
     else math.abs(refMean - curMean) / refStd
 
-  /** PSI over a numeric column: 10 equi-width bins pinned to the BASELINE
-    * side's [min, max] (out-of-range current values clamp into edge bins),
-    * both histograms in ONE aggregation pass.
+  /** PSI over numeric columns, ALL sharing two jobs regardless of width
+    * (the [[KsTest.ks2SampMulti]] shape): job 1 gets every column's
+    * BASELINE [min, max] in one conditional aggregation; job 2 computes
+    * every column's 10-bin histogram on both sides from one melted pass.
+    * Per column the formula is exactly the single-column one: bins pinned
+    * to the baseline's [min, max], out-of-range current values clamped
+    * into the edge bins. A caller looping [[psiNumeric]] over a wide table
+    * instead pays 2 driver actions PER column — the fixed-cost class
+    * measured as the small-input scaling killer.
     */
-  def psiNumeric(df: DataFrame, valueCol: String, isBaseline: Column,
-                 bins: Int = Stats.Bins): Double = {
-    val v = col(valueCol).cast("double")
-    val clean = df.where(v.isNotNull && !isnan(v))
-      .select(v.as("v"), isBaseline.as("base"))
-    val mm = clean.where(col("base")).agg(min("v"), max("v")).collect()(0)
-    if (mm.isNullAt(0)) return 0.0
-    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
-    val b = greatest(lit(0), Stats.bucketExpr(col("v"), lo, hi, bins))
-    val hists = clean.groupBy(b.as("bin")).agg(
-      sum(when(col("base"), 1L).otherwise(0L)).as("c1"),
-      sum(when(!col("base"), 1L).otherwise(0L)).as("c2"))
-      .collect().map(r => r.getAs[Int]("bin") -> (r.getAs[Long]("c1"), r.getAs[Long]("c2"))).toMap
-    val n1 = hists.values.map(_._1).sum.toDouble
-    val n2 = hists.values.map(_._2).sum.toDouble
-    if (n1 == 0 || n2 == 0) return 0.0
-    val p = (0 until bins).map(i => hists.getOrElse(i, (0L, 0L))._1 / n1)
-    val q = (0 until bins).map(i => hists.getOrElse(i, (0L, 0L))._2 / n2)
-    DriftMath.psi(p, q)
+  def psiNumericMulti(df: DataFrame, valueCols: Seq[String], isBaseline: Column,
+                      bins: Int = Stats.Bins): Map[String, Double] = {
+    require(valueCols.distinct.size == valueCols.size,
+      s"psiNumericMulti: duplicate column names in ${valueCols.mkString(", ")}")
+    if (valueCols.isEmpty) return Map.empty
+    // job 1: per-column baseline [min, max] in ONE conditional agg (min/max
+    // skip nulls, so the when-guard also drops non-baseline rows and NaNs)
+    val aggs = valueCols.zipWithIndex.flatMap { case (c, i) =>
+      val v = col(c).cast("double")
+      val vb = when(isBaseline && v.isNotNull && !isnan(v), v)
+      Seq(min(vb).as(s"__lo$i"), max(vb).as(s"__hi$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def d(n: String): Option[Double] =
+      Option(row.getAs[Any](n)).map(_.asInstanceOf[Number].doubleValue())
+    val ranges = valueCols.indices.map(i => (d(s"__lo$i"), d(s"__hi$i")))
+    val live = valueCols.zipWithIndex.filter { case (_, i) => ranges(i)._1.isDefined }
+    if (live.isEmpty) return valueCols.map(_ -> 0.0).toMap
+    // job 2: melted (column, bin) histograms for BOTH sides in one pass;
+    // each lane gets its own baseline-pinned bucket edges via a cid-switch
+    val structs = live.map { case (c, i) =>
+      struct(lit(i).as("cid"), col(c).cast("double").as("v"))
+    }
+    val melted = df.select(explode(array(structs: _*)).as("nv"),
+        when(isBaseline, 1L).otherwise(0L).as("s1"),
+        when(isBaseline, 0L).otherwise(1L).as("s2"))
+      .select(col("nv.cid").as("cid"), col("nv.v").as("v"), col("s1"), col("s2"))
+      .where(col("v").isNotNull && !isnan(col("v")))
+    val bucket = live.foldLeft(lit(0)) { case (acc, (_, i)) =>
+      when(col("cid") === i,
+        greatest(lit(0), Stats.bucketExpr(col("v"), ranges(i)._1.get, ranges(i)._2.get, bins)))
+        .otherwise(acc)
+    }
+    val hists = melted.groupBy(col("cid"), bucket.as("bin"))
+      .agg(sum("s1").as("c1"), sum("s2").as("c2"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cid, rs) =>
+        cid -> rs.map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+      }
+    valueCols.zipWithIndex.map { case (c, i) =>
+      val h = hists.getOrElse(i, Map.empty[Int, (Long, Long)])
+      val n1 = h.values.map(_._1).sum.toDouble
+      val n2 = h.values.map(_._2).sum.toDouble
+      c -> (if (ranges(i)._1.isEmpty || n1 == 0 || n2 == 0) 0.0
+            else {
+              val p = (0 until bins).map(j => h.getOrElse(j, (0L, 0L))._1 / n1)
+              val q = (0 until bins).map(j => h.getOrElse(j, (0L, 0L))._2 / n2)
+              DriftMath.psi(p, q)
+            })
+    }.toMap
   }
 
-  /** PSI over a categorical column: category proportions on both sides in
-    * one aggregation; categories are the union of both sides, capped to the
-    * top `topK` (by baseline count) + one tail bucket ([[cappedCatCounts]])
-    * so arbitrary-cardinality categoricals stay driver-safe. Identical to
-    * the uncapped formula whenever distinct categories ≤ topK.
+  /** PSI over a numeric column: 10 equi-width bins pinned to the BASELINE
+    * side's [min, max] (out-of-range current values clamp into edge bins).
+    * Single-column convenience over [[psiNumericMulti]] — wide callers
+    * should pass all columns at once (constant job count).
+    */
+  def psiNumeric(df: DataFrame, valueCol: String, isBaseline: Column,
+                 bins: Int = Stats.Bins): Double =
+    psiNumericMulti(df, Seq(valueCol), isBaseline, bins)(valueCol)
+
+  /** PSI over categorical columns, ALL sharing the one melted salted
+    * capped-count job ([[meltedCatCounts]] — the [[detect]] shape). Per
+    * column: proportions over the union of both sides' categories, capped
+    * to the top `topK` (by baseline count) + one tail bucket, so
+    * arbitrary-cardinality categoricals stay driver-safe.
+    */
+  def psiCategoricalMulti(df: DataFrame, catCols: Seq[String], isBaseline: Column,
+                          topK: Int = CatTopK): Map[String, Double] = {
+    meltedCatCounts(df, catCols, isBaseline, topK).map { case (c, rows) =>
+      val n1 = rows.map(_._2).sum.toDouble
+      val n2 = rows.map(_._3).sum.toDouble
+      c -> (if (n1 == 0 || n2 == 0) 0.0
+            else DriftMath.psi(rows.map(_._2 / n1).toSeq, rows.map(_._3 / n2).toSeq))
+    }
+  }
+
+  /** PSI over a categorical column — single-column convenience over
+    * [[psiCategoricalMulti]]; equal to the uncapped formula below the cap
+    * up to floating-point summation order.
     */
   def psiCategorical(df: DataFrame, catCol: String, isBaseline: Column,
-                     topK: Int = CatTopK): Double = {
-    val rows = cappedCatCounts(df, catCol, isBaseline, topK)
-    val n1 = rows.map(_._2).sum.toDouble
-    val n2 = rows.map(_._3).sum.toDouble
-    if (n1 == 0 || n2 == 0) return 0.0
-    DriftMath.psi(rows.map(_._2 / n1).toSeq, rows.map(_._3 / n2).toSeq)
-  }
+                     topK: Int = CatTopK): Double =
+    psiCategoricalMulti(df, Seq(catCol), isBaseline, topK)(catCol)
 
   /** Chi-square goodness-of-fit of the CURRENT categorical frequencies
     * against expected = baseline proportions × current total. Categories
     * absent from the baseline are excluded from the statistic (matching the
     * reference's skip-missing-columns convention, DESIGN.md:557-558);
-    * dof = (#baseline categories − 1).
+    * dof = (#baseline categories − 1). Shares [[meltedCatCounts]]; for many
+    * columns call it once and [[chiSqGof]] per entry.
     */
   def chiSquareCategorical(df: DataFrame, catCol: String, isBaseline: Column,
                            topK: Int = CatTopK): (Double, Double, Long) = {
-    val rows = cappedCatCounts(df, catCol, isBaseline, topK)
+    val rows = meltedCatCounts(df, Seq(catCol), isBaseline, topK)(catCol)
     val ref = rows.map(r => r._1 -> r._2).toMap
     val cur = rows.map(r => r._1 -> r._3).toMap
     chiSqGof(ref, cur)
+  }
+
+  /** Every categorical column's per-side category counts in ONE melted
+    * groupBy, capped per column to the top `topK` categories + one
+    * aggregated [[OtherBucket]] tail row, so the collect is
+    * ≤ #cols × (topK+1) rows no matter the column cardinality (same hazard
+    * class as the suite's LenCardCap). The top-K extraction is SALTED
+    * two-phase so no single task ever sorts a whole column's category
+    * table: phase 1 ranks within (name, salt) partitions
+    * (≈ cardinality/[[CatSaltFanout]] rows each) and folds per-salt tails
+    * into the other-bucket; phase 2 re-ranks the ≤ fanout·K surviving
+    * names. Exact vs a single per-column ranking: a globally top-K category
+    * is a fortiori top-K within its salt bucket, so phase 1 never drops
+    * one. Shared by [[detect]], [[psiCategoricalMulti]] and
+    * [[chiSquareCategorical]] — every categorical consumer pays one job.
+    *
+    * Returns, per column, (value, baselineCount, currentCount) rows.
+    */
+  private[graft] def meltedCatCounts(df: DataFrame, catCols: Seq[String],
+                                     isBaseline: Column, topK: Int = CatTopK)
+      : Map[String, Array[(String, Long, Long)]] = {
+    require(catCols.distinct.size == catCols.size,
+      s"meltedCatCounts: duplicate column names in ${catCols.mkString(", ")}")
+    if (catCols.isEmpty) return Map.empty
+    val structs = catCols.map(c => struct(lit(c).as("name"), col(c).cast("string").as("v")))
+    val w = org.apache.spark.sql.expressions.Window
+    val salt = pmod(xxhash64(col("v")), lit(CatSaltFanout))
+    val perSalt = w.partitionBy(col("name"), salt)
+      .orderBy(col("c1").desc, col("c2").desc, col("v"))
+    // other-bucket rows sort AFTER every real category (boolean first key)
+    // so they never consume a phase-2 rank slot
+    val perCol = w.partitionBy("name")
+      .orderBy((col("vc") === OtherBucket).asc, col("c1").desc, col("c2").desc, col("vc"))
+    val rows = df.select(explode(array(structs: _*)).as("nv"),
+        when(isBaseline, 1L).otherwise(0L).as("s1"),
+        when(isBaseline, 0L).otherwise(1L).as("s2"))
+      .select(col("nv.name").as("name"), col("nv.v").as("v"), col("s1"), col("s2"))
+      .where(col("v").isNotNull)
+      .groupBy("name", "v").agg(sum("s1").as("c1"), sum("s2").as("c2"))
+      .withColumn("v", guardSentinel(col("v")))
+      .withColumn("vc", when(row_number().over(perSalt) <= topK, col("v"))
+        .otherwise(lit(OtherBucket)))
+      .groupBy("name", "vc").agg(sum("c1").as("c1"), sum("c2").as("c2"))
+      .withColumn("vc", when(col("vc") =!= OtherBucket &&
+          row_number().over(perCol) <= topK, col("vc"))
+        .otherwise(lit(OtherBucket)))
+      .groupBy("name", "vc").agg(sum("c1").as("c1"), sum("c2").as("c2"))
+      .collect()
+    val byName = rows.groupBy(_.getString(0))
+    catCols.map { c =>
+      c -> byName.getOrElse(c, Array.empty)
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    }.toMap
   }
 
   /** Full drift report over numeric columns (KS, reference DriftDetector
@@ -198,54 +281,21 @@ object Drift {
         meanDifference(s.m1, s.s1, s.m2), ks.n1, ks.n2)
     }
 
-    // job 5: every categorical column in one melted groupBy, capped per
-    // column to the top CatTopK categories + one aggregated tail bucket, so
-    // the collect is ≤ #cols × (CatTopK+1) rows no matter the column
-    // cardinality (same hazard class as the suite's LenCardCap). The top-K
-    // extraction is SALTED two-phase so no single task ever sorts a whole
-    // column's category table: phase 1 ranks within (name, salt) partitions
-    // (≈ cardinality/CatSaltFanout rows each) and folds per-salt tails into
-    // the other-bucket; phase 2 re-ranks the ≤ fanout·K surviving names.
-    // Exact vs a single per-column ranking: a globally top-K category is a
-    // fortiori top-K within its salt bucket, so phase 1 never drops one.
-    val catDrift: Seq[ColumnDrift] = if (catCols.isEmpty) Seq.empty else {
-      val structs = catCols.map(c => struct(lit(c).as("name"), col(c).cast("string").as("v")))
-      val w = org.apache.spark.sql.expressions.Window
-      val salt = pmod(xxhash64(col("v")), lit(CatSaltFanout))
-      val perSalt = w.partitionBy(col("name"), salt)
-        .orderBy(col("c1").desc, col("c2").desc, col("v"))
-      // other-bucket rows sort AFTER every real category (boolean first key)
-      // so they never consume a phase-2 rank slot
-      val perCol = w.partitionBy("name")
-        .orderBy((col("vc") === OtherBucket).asc, col("c1").desc, col("c2").desc, col("vc"))
-      val rows = df.select(explode(array(structs: _*)).as("nv"),
-          when(isBaseline, 1L).otherwise(0L).as("s1"),
-          when(isBaseline, 0L).otherwise(1L).as("s2"))
-        .select(col("nv.name").as("name"), col("nv.v").as("v"), col("s1"), col("s2"))
-        .where(col("v").isNotNull)
-        .groupBy("name", "v").agg(sum("s1").as("c1"), sum("s2").as("c2"))
-        .withColumn("v", guardSentinel(col("v")))
-        .withColumn("vc", when(row_number().over(perSalt) <= CatTopK, col("v"))
-          .otherwise(lit(OtherBucket)))
-        .groupBy("name", "vc").agg(sum("c1").as("c1"), sum("c2").as("c2"))
-        .withColumn("vc", when(col("vc") =!= OtherBucket &&
-            row_number().over(perCol) <= CatTopK, col("vc"))
-          .otherwise(lit(OtherBucket)))
-        .groupBy("name", "vc").agg(sum("c1").as("c1"), sum("c2").as("c2"))
-        .collect()
-      val byName = rows.groupBy(_.getString(0))
-      catCols.map { c =>
-        val cnts = byName.getOrElse(c, Array.empty)
-        val ref = cnts.map(r => r.getString(1) -> r.getLong(2)).toMap
-        val cur = cnts.map(r => r.getString(1) -> r.getLong(3)).toMap
-        val (stat, p, _) = chiSqGof(ref, cur)
-        // n_ref/n_cur are THIS column's non-null counts (the tail fold
-        // preserves per-side sums), not the first numeric column's — a
-        // cat-only detect() must not report sample sizes of 0
-        ColumnDrift(c, "chisq", stat, p, p < ChiSqThreshold, 0.0,
-          cnts.map(_.getLong(2)).sum, cnts.map(_.getLong(3)).sum)
-      }
-    }
+    // job 5: every categorical column's capped counts in one melted groupBy
+    // ([[meltedCatCounts]])
+    val catDrift: Seq[ColumnDrift] =
+      meltedCatCounts(df, catCols, isBaseline, CatTopK).toSeq
+        .sortBy { case (c, _) => catCols.indexOf(c) }
+        .map { case (c, cnts) =>
+          val ref = cnts.map(r => r._1 -> r._2).toMap
+          val cur = cnts.map(r => r._1 -> r._3).toMap
+          val (stat, p, _) = chiSqGof(ref, cur)
+          // n_ref/n_cur are THIS column's non-null counts (the tail fold
+          // preserves per-side sums), not the first numeric column's — a
+          // cat-only detect() must not report sample sizes of 0
+          ColumnDrift(c, "chisq", stat, p, p < ChiSqThreshold, 0.0,
+            cnts.map(_._2).sum, cnts.map(_._3).sum)
+        }
 
     val all = ksDrift ++ catDrift
     DriftReport(all.exists(_.drift_detected),

@@ -40,6 +40,25 @@ class JobCountSpec extends GraftSpec {
     assert(n4 <= 19, s"detect with 4 columns ran $n4 jobs")
   }
 
+  test("standalone PSI: job count is CONSTANT in column count (multi forms share one melt)") {
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val isBase = col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+    val n1 = countJobs("psi1") {
+      Drift.psiNumericMulti(li, Seq("l_quantity"), isBase)
+    }
+    val n3 = countJobs("psi3") {
+      Drift.psiNumericMulti(li, Seq("l_quantity", "l_extendedprice", "l_discount"), isBase)
+    }
+    assert(n3 <= n1, s"numeric PSI jobs grew with column count: $n1 (1 col) -> $n3 (3 cols)")
+    val c1 = countJobs("psic1") {
+      Drift.psiCategoricalMulti(li, Seq("l_returnflag"), isBase)
+    }
+    val c2 = countJobs("psic2") {
+      Drift.psiCategoricalMulti(li, Seq("l_returnflag", "l_linestatus"), isBase)
+    }
+    assert(c2 <= c1, s"categorical PSI jobs grew with column count: $c1 (1 col) -> $c2 (2 cols)")
+  }
+
   test("suite: job count does not grow with the number of pending batches") {
     val code2 = CodeTableGen.generate(spark, 8000, batches = 2).cache()
     val code4 = CodeTableGen.generate(spark, 8000, batches = 4).cache()
