@@ -366,16 +366,34 @@ object SparkEntry {
         .select("doc_id", "lang", "source").orderBy("lang", "source")
     }),
 
-    // MinHash + LSH near-dup pairs (no oracle — LSH pipeline)
+    // MinHash + LSH near-dup pairs, DuckDB-oracled from the written
+    // signature table: DuckDB cannot reproduce xxhash64, but it does not
+    // need to — the query dumps the Spark-computed signatures and the
+    // oracle RE-DERIVES banding (band = equality of the 4-long slice —
+    // equal slices iff equal band keys, xxhash64 being injective modulo
+    // 2^-64 collisions), candidate generation, signature agreement and the
+    // threshold filter in pure SQL (the q_suite_counts pattern).
+    // est_jaccard is a dyadic rational (k/64) — exact in both engines, so
+    // no rounding is needed for hash parity.
     "q_minhash_pairs" -> ((s, dir) => {
-      Dedup.minhashLshPairs(nearDupCorpus(s, dir), "doc_id", "text", threshold = 0.5)
-        .withColumn("est_jaccard", r(col("est_jaccard"), 4))
-        .orderBy("id1", "id2")
+      val sigs = Dedup.minhashSignatures(nearDupCorpus(s, dir), "doc_id", "text", 64, 3)
+        .persist()
+      sigs.write.mode("overwrite").parquet("/tmp/graft_oracle/minhash_sigs")
+      val out = try Dedup.minhashLshPairsFromSigs(sigs, threshold = 0.5)
+        finally sigs.unpersist(blocking = false)
+      out.orderBy("id1", "id2")
     }),
 
-    // SimHash near-dup pairs (no oracle)
+    // SimHash near-dup pairs, DuckDB-oracled from the written simhash
+    // table: the oracle re-derives the 4×16-bit block LSH ((sh >> 16b) &
+    // 0xFFFF — the mask makes arithmetic vs logical shift irrelevant),
+    // candidate join, hamming distance (bit_count of xor, two's complement
+    // in both engines) and the ≤3 filter
     "q_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(nearDupCorpus(s, dir), "doc_id", "text", maxDist = 3)
+      val sh = Dedup.simhashes(nearDupCorpus(s, dir), "doc_id", "text").persist()
+      sh.write.mode("overwrite").parquet("/tmp/graft_oracle/simhashes")
+      Dedup.simhashPairsFromHashes(sh, maxDist = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("id1", "id2")
     }),
 
@@ -395,20 +413,30 @@ object SparkEntry {
         .orderBy("id1")
     }),
 
-    // embedding-cosine near-dup pairs via sign-LSH (no oracle). The driver
-    // embeddings are random (no true near-dups), so near-dup vectors are
-    // injected deterministically: copies of the first 20 with one
-    // coordinate nudged (cosine ≈ 0.999).
+    // embedding-cosine near-dup pairs via sign-LSH, DuckDB-oracled from the
+    // written (id, v) vectors and (id, t, sig) band table: the oracle
+    // re-derives the bucket self-join, candidate dedup, exact cosine
+    // (list_cosine_similarity on the same double vectors) and the ≥0.9
+    // filter. The driver embeddings are random (no true near-dups), so
+    // near-dup vectors are injected deterministically: copies of the first
+    // 20 with one coordinate nudged (cosine ≈ 0.999). Vectors are cast to
+    // double up front so both engines score identical inputs.
     "q_embedding_pairs" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
       val dups = e.where(col("vec_id") < 20).select(
         (col("vec_id") + 100000).as("vec_id"),
         zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
-          (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
-      Dedup.embeddingPairs(e.unionByName(dups), "vec_id", "embedding",
-        threshold = 0.9, bits = 8)
-        .withColumn("cosine", r(col("cosine"), 4))
-        .orderBy("id1", "id2")
+          (x, i) => when(i === 0, x + 0.05d).otherwise(x)).as("embedding"))
+      val vecs = e.unionByName(dups)
+        .select(col("vec_id").as("id"), col("embedding").as("v")).persist()
+      vecs.write.mode("overwrite").parquet("/tmp/graft_oracle/emb_vecs")
+      // same (bits, tables) the embeddingPairs default derives at bits=8
+      val bands = Dedup.signLshBands(vecs, 8, Dedup.autoTables(8, 0.9)).persist()
+      bands.write.mode("overwrite").parquet("/tmp/graft_oracle/emb_bands")
+      val out = try Dedup.embeddingPairsFromBands(vecs, bands, 0.9)
+        finally { bands.unpersist(blocking = false); vecs.unpersist(blocking = false) }
+      out.withColumn("cosine", r(col("cosine"), 4)).orderBy("id1", "id2")
     }),
 
     // SELF-VALIDATING recall rows for the three LSH pair pipelines: the 50
@@ -1289,6 +1317,63 @@ object SparkEntry {
     // counts for the four count-based checks, per batch
     "q_suite_counts" ->
       suiteCountsOracleSql("/tmp/graft_oracle/suite_input_100000/*.parquet"),
+
+    // the LSH pair pipelines, recomputed by DuckDB from the Spark-computed
+    // primitive tables the queries dump (signatures / simhashes / band
+    // table): banding, candidate generation, agreement/hamming/cosine and
+    // the threshold filter are all re-derived in SQL
+    "q_minhash_pairs" ->
+      """WITH sigs AS (
+           SELECT id, sig FROM read_parquet('/tmp/graft_oracle/minhash_sigs/*.parquet')),
+         bands AS (
+           SELECT s.id, b.band,
+                  CAST(list_slice(s.sig, b.band*4 + 1, b.band*4 + 4) AS VARCHAR) AS bval
+           FROM sigs s CROSS JOIN (SELECT unnest(range(16)) AS band) b),
+         cand AS (
+           SELECT DISTINCT l.id AS id1, r.id AS id2
+           FROM bands l JOIN bands r
+             ON l.band = r.band AND l.bval = r.bval AND l.id < r.id),
+         scored AS (
+           SELECT c.id1, c.id2,
+                  list_sum(list_transform(range(1, 65),
+                    i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)) / 64.0
+                    AS est_jaccard
+           FROM cand c
+           JOIN sigs s1 ON s1.id = c.id1
+           JOIN sigs s2 ON s2.id = c.id2)
+         SELECT id1, id2, est_jaccard FROM scored
+         WHERE est_jaccard >= 0.5 ORDER BY id1, id2""",
+
+    "q_simhash_pairs" ->
+      """WITH shs AS (
+           SELECT id, sh FROM read_parquet('/tmp/graft_oracle/simhashes/*.parquet')),
+         blocks AS (
+           SELECT s.id, s.sh, b.block, (s.sh >> (b.block*16)) & 65535 AS bval
+           FROM shs s CROSS JOIN (SELECT unnest(range(4)) AS block) b),
+         cand AS (
+           SELECT DISTINCT l.id AS id1, l.sh AS sh1, r.id AS id2, r.sh AS sh2
+           FROM blocks l JOIN blocks r
+             ON l.block = r.block AND l.bval = r.bval AND l.id < r.id)
+         SELECT id1, id2, CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(sh1, sh2)) <= 3 ORDER BY id1, id2""",
+
+    "q_embedding_pairs" ->
+      """WITH vecs AS (
+           SELECT id, v FROM read_parquet('/tmp/graft_oracle/emb_vecs/*.parquet')),
+         bands AS (
+           SELECT id, t, sig FROM read_parquet('/tmp/graft_oracle/emb_bands/*.parquet')),
+         cand AS (
+           SELECT DISTINCT l.id AS id1, r.id AS id2
+           FROM bands l JOIN bands r
+             ON l.t = r.t AND l.sig = r.sig AND l.id < r.id),
+         scored AS (
+           SELECT c.id1, c.id2,
+                  list_cosine_similarity(v1.v::DOUBLE[], v2.v::DOUBLE[]) AS cosine
+           FROM cand c
+           JOIN vecs v1 ON v1.id = c.id1
+           JOIN vecs v2 ON v2.id = c.id2)
+         SELECT id1, id2, round(cosine, 4) AS cosine FROM scored
+         WHERE cosine >= 0.9 ORDER BY id1, id2""",
 
     "q_multimodal_check" ->
       """SELECT true AS rows_ok, true AS len_ok,

@@ -124,15 +124,29 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
                       shingleN: Int = 3): DataFrame = {
-    // band shuffle carries ONLY (band, bkey, id) — the 8·k-byte signatures
-    // are re-attached to the (far smaller) deduplicated candidate set
-    // afterwards. The signature table is referenced THREE times (bucket
-    // explode + two re-attach joins); an explicit persist pins one
-    // materialization — relying on ReuseExchange instead proved fragile
-    // under AQE (a cold run recomputed the k xxhash64 aggregations per
-    // shingle three times: 59.8 s vs 6.5 s at sf0.1).
+    // The signature table is referenced THREE times (bucket explode + two
+    // re-attach joins); an explicit persist pins one materialization —
+    // relying on ReuseExchange instead proved fragile under AQE (a cold run
+    // recomputed the k xxhash64 aggregations per shingle three times:
+    // 59.8 s vs 6.5 s at sf0.1).
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try minhashLshPairsFromSigs(sigs, threshold, k, bands)
+    finally sigs.unpersist(blocking = false)
+  }
+
+  /** The banding + agreement-threshold half of [[minhashLshPairs]], over a
+    * PRECOMPUTED signature table (id, sig) — for callers that already hold
+    * signatures (an incremental pipeline keying off a committed signature
+    * store; the correctness gate, which dumps the same table for the
+    * external oracle to re-band). `sigs` is referenced three times and its
+    * lifecycle belongs to the caller — persist it. The returned pairs are
+    * persisted + materialized (unpersist when done), as in minhashLshPairs.
+    */
+  def minhashLshPairsFromSigs(sigs: DataFrame, threshold: Double = 0.5,
+                              k: Int = 64, bands: Int = 16): DataFrame = {
+    // band shuffle carries ONLY (band, bkey, id) — the 8·k-byte signatures
+    // are re-attached to the (far smaller) deduplicated candidate set
     val buckets = sigs.select(col("id"),
         posexplode(lshBandKeys(col("sig"), bands, k)).as(Seq("band", "bkey")))
     val l = buckets.select(col("band"), col("bkey"), col("id").as("id1"))
@@ -149,14 +163,13 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
       .select("id1", "id2", "est_jaccard")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the (threshold-filtered, small) pair output so the sigs
-    // cache can be dropped deterministically; lineage stays intact, so an
+    // materialize the (threshold-filtered, small) pair output so upstream
+    // caches can be dropped deterministically; lineage stays intact, so an
     // evicted output block just recomputes — no checkpoint fragility. A
-    // failed materialization (cancelled job, skew OOM) must not strand
-    // either cache: the caller gets no handle to unpersist on the throw path
+    // failed materialization (cancelled job, skew OOM) must not strand the
+    // cache: the caller gets no handle to unpersist on the throw path
     try out.count()
     catch { case e: Throwable => out.unpersist(blocking = false); throw e }
-    finally sigs.unpersist(blocking = false)
     out
   }
 
@@ -207,8 +220,16 @@ object Dedup {
   }
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
-    val sh = simhashes(df, idCol, textCol)
+                   maxDist: Int = 3): DataFrame =
+    simhashPairsFromHashes(simhashes(df, idCol, textCol), maxDist)
+
+  /** The block-LSH + hamming-filter half of [[simhashPairs]], over a
+    * PRECOMPUTED (id, sh) simhash table — for callers holding committed
+    * simhashes (and the correctness gate, which dumps the same table for
+    * the external oracle to re-block). `sh` is referenced twice (both join
+    * sides); persist it when its upstream is expensive.
+    */
+  def simhashPairsFromHashes(sh: DataFrame, maxDist: Int = 3): DataFrame = {
     val blocks = sh.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))))
@@ -274,37 +295,57 @@ object Dedup {
           case (bb, 0)         => (bb, autoTables(bb, threshold))
           case (bb, t)         => (bb, t)
         }
-        val sigs = (0 until nt).map(t =>
-          struct(lit(t).as("t"), signLshSignature(col("v"), b, t).as("sig")))
         // band join carries ONLY (t, sig, id) — at 100 TB of embeddings the
         // vectors are the payload, and shuffling them through the bucket
         // self-join on BOTH sides × tables dwarfs everything else; they are
         // re-attached to the (tiny) deduplicated candidate set instead. The
         // compact (id, t, sig) table is persisted so the hyperplane dot
         // products are computed once, not once per join side.
-        e = vecs.select(col("id"), explode(array(sigs: _*)).as("ts"))
-          .select(col("id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+        e = signLshBands(vecs, b, nt)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val l = e.select(col("t"), col("sig"), col("id").as("id1"))
-        val r = e.select(col("t"), col("sig"), col("id").as("id2"))
-        val cand = l.join(r, Seq("t", "sig")).where(col("id1") < col("id2"))
-          .select("id1", "id2").dropDuplicates("id1", "id2")
-        val o = cand
-          .join(vecs.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
-          .join(vecs.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
-          .withColumn("cosine", cosine(col("v1"), col("v2")))
-          .where(col("cosine") >= threshold)
-          .select("id1", "id2", "cosine")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // materialize so the intermediates can be dropped deterministically
-        // (same failure-path cache hygiene as minhashLshPairs)
-        try o.count()
-        catch { case ex: Throwable => o.unpersist(blocking = false); throw ex }
-        o
+        embeddingPairsFromBands(vecs, e, threshold)
       } finally {
         if (e != null) e.unpersist(blocking = false)
         vecs.unpersist(blocking = false)
       }
+    out
+  }
+
+  /** The multi-table sign-LSH band table (id, t, sig) over a slim (id, v)
+    * vector projection — the reusable "index" side of [[embeddingPairs]] /
+    * bucketed ANN, exposed so callers (and the correctness gate's external
+    * oracle dump) can materialize, commit, or inspect it.
+    */
+  def signLshBands(vecs: DataFrame, bits: Int, tables: Int): DataFrame = {
+    val sigs = (0 until tables).map(t =>
+      struct(lit(t).as("t"), signLshSignature(col("v"), bits, t).as("sig")))
+    vecs.select(col("id"), explode(array(sigs: _*)).as("ts"))
+      .select(col("id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+  }
+
+  /** The bucket-join + exact-cosine half of [[embeddingPairs]], over a
+    * PRECOMPUTED band table (see [[signLshBands]]). `vecs` is (id, v) and is
+    * referenced twice (candidate re-attach); `bands` twice (self-join) —
+    * persist both when upstream is expensive (embeddingPairs does). The
+    * returned pairs are persisted + materialized (unpersist when done).
+    */
+  def embeddingPairsFromBands(vecs: DataFrame, bands: DataFrame,
+                              threshold: Double): DataFrame = {
+    val l = bands.select(col("t"), col("sig"), col("id").as("id1"))
+    val r = bands.select(col("t"), col("sig"), col("id").as("id2"))
+    val cand = l.join(r, Seq("t", "sig")).where(col("id1") < col("id2"))
+      .select("id1", "id2").dropDuplicates("id1", "id2")
+    val out = cand
+      .join(vecs.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(vecs.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
+      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .where(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize so upstream caches can be dropped deterministically
+    // (same failure-path cache hygiene as minhashLshPairs)
+    try out.count()
+    catch { case ex: Throwable => out.unpersist(blocking = false); throw ex }
     out
   }
 
