@@ -670,11 +670,14 @@ object SparkEntry {
         .orderBy("column", "test")
     }),
 
-    // ===== engine suite over the synthetic code table (no oracle) =====
+    // ===== engine suite over the synthetic code table =====
     // (the three suite queries below share ONE memoized run per input size
     // — see suiteVerdicts — instead of re-validating the identical
     // deterministic table per query)
 
+    // full verdict table in its native long shape (rows-only by shape:
+    // every column of it is externally recomputed by q_suite_counts +
+    // q_code_suite_drift over the same written input)
     "q_code_suite" -> ((s, dir) => {
       import s.implicits._
       val rows = if (dir.contains("0.001")) 20000L else 100000L
@@ -688,7 +691,7 @@ object SparkEntry {
     // completeness / sha256 violation counts + pass flags), DuckDB-oracled:
     // the exact engine input is written to parquet first and the oracle
     // recomputes every count from that same file. The p-valued drift rows
-    // stay in q_code_suite (rows-only).
+    // are oracled the same way by q_code_suite_drift.
     "q_suite_counts" -> ((s, dir) => {
       // FIXED input size at any sf: the oracle SQL reads this exact path,
       // so the query and the oracle must agree on it unconditionally
@@ -700,6 +703,45 @@ object SparkEntry {
       suiteVerdicts(s, rows).filter(v => countChecks.contains(v.check)).toDF()
         .select(col("batch_id"), col("check"), col("violation_count"), col("passed"))
         .orderBy("batch_id", "check")
+    }),
+
+    // The suite's DRIFT verdict rows — statistic AND p-value per batch —
+    // DuckDB-oracled end-to-end from a written copy of the exact input:
+    // the oracle recomputes the exact two-sample KS over content length
+    // (distinct-length cumulative counts vs the baseline batch) + the
+    // asymptotic Kolmogorov p (same k ≤ 100 series as DriftMath), PSI over
+    // the baseline-pinned 10-bin length histogram and over the lang mix
+    // (ε = 1e-6 clamping), chi-square on lang (expected = baseline
+    // proportions × covered current total, dof = 6 → closed-form survival
+    // e^(−y)(1 + y + y²/2)), Cramér's-V-gated pass flags, and the
+    // normalized mean shift. With q_suite_counts this makes the WHOLE
+    // suite verdict table externally recomputed, not just its integer half.
+    "q_code_suite_drift" -> ((s, dir) => {
+      import s.implicits._
+      val rows = 100000L
+      graft.gen.CodeTableGen.generate(s, rows, batches = 4)
+        .write.mode("overwrite").parquet("/tmp/graft_oracle/suite_drift_input")
+      val vs = suiteVerdicts(s, rows)
+      def v(b: Long, check: String, c: String) =
+        vs.find(x => x.batch_id == b && x.check == check && x.column == c).get
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      (0L to 3L).map { b =>
+        (b,
+          r6(v(b, "drift_ks", "content_length").metric),
+          r6(v(b, "drift_ks", "content_length").p_value),
+          v(b, "drift_ks", "content_length").passed,
+          r6(v(b, "drift_psi", "content_length").metric),
+          v(b, "drift_psi", "content_length").passed,
+          r6(v(b, "drift_psi", "lang").metric),
+          v(b, "drift_psi", "lang").passed,
+          r6(v(b, "drift_chisq", "lang").metric),
+          r6(v(b, "drift_chisq", "lang").p_value),
+          v(b, "drift_chisq", "lang").passed,
+          r6(v(b, "mean_shift", "content_length").metric))
+      }.toDF("batch_id", "ks_stat", "ks_p", "ks_passed", "psi_len",
+        "psi_len_passed", "psi_lang", "psi_lang_passed", "chisq_stat",
+        "chisq_p", "chisq_passed", "mean_shift")
+        .orderBy("batch_id")
     }),
 
     // The suite's DRIFT verdict semantics, pinned as an oracled boolean row
@@ -1374,6 +1416,106 @@ object SparkEntry {
            JOIN vecs v2 ON v2.id = c.id2)
          SELECT id1, id2, round(cosine, 4) AS cosine FROM scored
          WHERE cosine >= 0.9 ORDER BY id1, id2""",
+
+    // the suite's drift verdict rows recomputed by DuckDB from the exact
+    // written input: exact two-sample KS over distinct content lengths +
+    // asymptotic Kolmogorov p (k ≤ 100 series), baseline-pinned 10-bin
+    // PSI(length), PSI(lang), chi-square(lang) with dof=6 closed-form
+    // survival e^(−y)(1+y+y²/2), Cramér's-V-gated pass flags, mean shift
+    "q_code_suite_drift" ->
+      """WITH code AS (
+           SELECT batch_id, lang, CAST(length(content) AS BIGINT) AS len
+           FROM read_parquet('/tmp/graft_oracle/suite_drift_input/*.parquet')),
+         bs AS (SELECT DISTINCT batch_id FROM code),
+         lens AS (SELECT batch_id, len, CAST(count(*) AS BIGINT) AS c FROM code GROUP BY 1, 2),
+         tot AS (SELECT batch_id, CAST(sum(c) AS DOUBLE) AS n FROM lens GROUP BY 1),
+         pts AS (SELECT b.batch_id AS b, l.len FROM bs b
+                 JOIN lens l ON l.batch_id = 0 OR l.batch_id = b.batch_id GROUP BY 1, 2),
+         cums AS (SELECT p.b, p.len,
+           CAST((SELECT coalesce(sum(x.c), 0) FROM lens x
+                 WHERE x.batch_id = 0 AND x.len <= p.len) AS DOUBLE) AS cum0,
+           CAST((SELECT coalesce(sum(y.c), 0) FROM lens y
+                 WHERE y.batch_id = p.b AND y.len <= p.len) AS DOUBLE) AS cumb
+           FROM pts p),
+         ks AS (SELECT c.b, max(abs(c.cum0 / t0.n - c.cumb / tb.n)) AS d,
+                       max(t0.n) AS n1, max(tb.n) AS n2
+                FROM cums c JOIN tot t0 ON t0.batch_id = 0
+                JOIN tot tb ON tb.batch_id = c.b
+                GROUP BY 1),
+         ksp AS (SELECT b, d, n1, n2,
+           CASE WHEN d <= 0 THEN 1.0 ELSE least(1.0, greatest(0.0,
+             list_sum(list_transform(range(1, 101),
+               k -> 2.0 * (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                    * exp(-2.0 * k * k * (sqrt(n1 * n2 / (n1 + n2)) * d)
+                          * (sqrt(n1 * n2 / (n1 + n2)) * d)))))) END AS pv
+           FROM ks),
+         rng AS (SELECT CAST(min(len) AS DOUBLE) AS lo, CAST(max(len) AS DOUBLE) AS hi
+                 FROM code WHERE batch_id = 0),
+         binned AS (SELECT l.batch_id,
+           greatest(0, least(9, CAST(trunc((l.len - r.lo) * 10.0 / (r.hi - r.lo)) AS INT))) AS bin,
+           CAST(sum(l.c) AS DOUBLE) AS c
+           FROM lens l, rng r GROUP BY 1, 2),
+         hist AS (SELECT b.batch_id AS hb, g.bin,
+           CAST(coalesce((SELECT x.c FROM binned x
+                          WHERE x.batch_id = b.batch_id AND x.bin = g.bin), 0) AS DOUBLE) AS c
+           FROM bs b CROSS JOIN (SELECT unnest(range(10)) AS bin) g),
+         histp AS (SELECT hb,
+           list(c / (SELECT t.n FROM tot t WHERE t.batch_id = hb) ORDER BY bin) AS ps
+           FROM hist GROUP BY hb),
+         psiLen AS (SELECT cur.hb AS b,
+           list_sum(list_transform(range(1, 11), i ->
+             (greatest(base.ps[i], 1e-6) - greatest(cur.ps[i], 1e-6))
+             * ln(greatest(base.ps[i], 1e-6) / greatest(cur.ps[i], 1e-6)))) AS psi
+           FROM histp cur, (SELECT ps FROM histp WHERE hb = 0) base),
+         langc AS (SELECT batch_id, lang, CAST(count(*) AS BIGINT) AS c FROM code GROUP BY 1, 2),
+         langKeys AS (SELECT b.batch_id AS b, l.lang FROM bs b
+                      JOIN langc l ON l.batch_id = 0 OR l.batch_id = b.batch_id GROUP BY 1, 2),
+         langPQ AS (SELECT k.b, k.lang,
+           CAST(coalesce((SELECT x.c FROM langc x
+                          WHERE x.batch_id = 0 AND x.lang = k.lang), 0) AS DOUBLE) AS c0,
+           CAST(coalesce((SELECT y.c FROM langc y
+                          WHERE y.batch_id = k.b AND y.lang = k.lang), 0) AS DOUBLE) AS cb
+           FROM langKeys k),
+         langTot AS (SELECT b, sum(c0) AS n1, sum(cb) AS n2 FROM langPQ GROUP BY 1),
+         psiLang AS (SELECT q.b, list_sum(list_transform(range(1, len(q.ps) + 1), i ->
+             (greatest(q.ps[i], 1e-6) - greatest(q.qs[i], 1e-6))
+             * ln(greatest(q.ps[i], 1e-6) / greatest(q.qs[i], 1e-6)))) AS psi
+           FROM (SELECT p.b, list(p.c0 / t.n1 ORDER BY p.lang) AS ps,
+                        list(p.cb / t.n2 ORDER BY p.lang) AS qs
+                 FROM langPQ p JOIN langTot t ON t.b = p.b GROUP BY p.b) q),
+         chi AS (SELECT p.b,
+           sum(pow(p.cb - p.c0 / t.n1 * (SELECT sum(p2.cb) FROM langPQ p2
+                                         WHERE p2.b = p.b AND p2.c0 > 0), 2)
+               / (p.c0 / t.n1 * (SELECT sum(p2.cb) FROM langPQ p2
+                                 WHERE p2.b = p.b AND p2.c0 > 0))) AS stat,
+           count(*) FILTER (WHERE p.c0 > 0) - 1 AS dof,
+           (SELECT sum(p2.cb) FROM langPQ p2 WHERE p2.b = p.b AND p2.c0 > 0) AS n2cov
+           FROM langPQ p JOIN langTot t ON t.b = p.b
+           WHERE p.c0 > 0
+           GROUP BY 1),
+         chip AS (SELECT b, stat, dof, n2cov,
+           CASE WHEN stat <= 0 THEN 1.0
+                ELSE least(1.0, greatest(0.0,
+                  exp(-stat / 2.0) * (1.0 + stat / 2.0 + (stat / 2.0) * (stat / 2.0) / 2.0))) END AS pv,
+           CASE WHEN n2cov = 0 THEN 0.0 ELSE sqrt(stat / (n2cov * dof)) END AS cv
+           FROM chi),
+         m AS (SELECT batch_id, avg(len) AS mean, stddev_samp(len) AS std FROM code GROUP BY 1)
+         SELECT k.b AS batch_id,
+           round(k.d, 6) AS ks_stat, round(k.pv, 6) AS ks_p,
+           (k.b = 0 OR k.pv >= 0.05) AS ks_passed,
+           round(pl.psi, 6) AS psi_len, (k.b = 0 OR pl.psi < 0.2) AS psi_len_passed,
+           round(pg.psi, 6) AS psi_lang, (k.b = 0 OR pg.psi < 0.2) AS psi_lang_passed,
+           round(c.stat, 6) AS chisq_stat, round(c.pv, 6) AS chisq_p,
+           (k.b = 0 OR c.pv >= 0.05 OR c.cv < 0.05) AS chisq_passed,
+           round(CASE WHEN m0.std IS NULL OR m0.std = 0 THEN 0.0
+                      ELSE abs(m0.mean - mb.mean) / m0.std END, 6) AS mean_shift
+         FROM ksp k
+         JOIN psiLen pl ON pl.b = k.b
+         JOIN psiLang pg ON pg.b = k.b
+         JOIN chip c ON c.b = k.b
+         JOIN m mb ON mb.batch_id = k.b
+         JOIN m m0 ON m0.batch_id = 0
+         ORDER BY batch_id""",
 
     "q_multimodal_check" ->
       """SELECT true AS rows_ok, true AS len_ok,
