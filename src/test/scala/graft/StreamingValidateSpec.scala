@@ -82,6 +82,45 @@ class StreamingValidateSpec extends GraftSpec {
     assert(q2.awaitTermination(300000), "restarted stream must drain and stop")
     assert(synchronized(streamed).size == before,
       "restart must not re-validate committed batches")
+
+    // TORN BATCH: crash between a batch's table writes and its verdict
+    // commit. The verdict manifest is the atomic per-batch commit point
+    // (written LAST), so a kill in that window leaves batch 1's data,
+    // violations, artifacts and lineage fully written but the batch still
+    // PENDING. A restarted stream must revalidate exactly that batch,
+    // exactly once, overwriting the orphaned data idempotently and
+    // producing verdicts identical to the untorn run.
+    java.nio.file.Files.delete(
+      java.nio.file.Path.of(s"$auditS/verdicts/_manifest/p1.json"))
+    assert(ioS.listCommitted("verdicts") == Seq(0L))
+    assert(ioS.isCommitted("artifacts", 1L),
+      "torn batch stages: every non-verdict table already committed")
+    var replayed = Seq.empty[(Long, String, String, Double, Boolean)]
+    val q3 = StreamingValidate.validateStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir),
+      dim, ioS,
+      onVerdicts = vs => synchronized {
+        replayed ++= vs.map(v => (v.batch_id, v.check, v.column, v.metric, v.passed))
+      })
+    assert(q3.awaitTermination(300000), "post-crash stream must drain and stop")
+    val replaySnap = synchronized(replayed)
+    // exactly once, exactly batch 1 (batch 0's micro-batch no-ops)
+    assert(replaySnap.nonEmpty && replaySnap.forall(_._1 == 1L),
+      s"torn-batch restart must revalidate ONLY batch 1: ${replaySnap.map(_._1).distinct}")
+    assert(replaySnap.map(v => (v._2, v._3)).distinct.size == replaySnap.size,
+      "each (check, column) verdict must be emitted exactly once")
+    assert(ioS.listCommitted("verdicts") == Seq(0L, 1L), "verdict commit restored")
+    // verdicts equal the original run's batch-1 rows (1e-9 rel tol on
+    // metrics — the revalidation reads the same single file)
+    val origB1 = streamedSnap.filter(_._1 == 1L)
+      .map(v => (v._2, v._3) -> (v._4, v._5)).toMap
+    assert(replaySnap.size == origB1.size)
+    replaySnap.foreach { v =>
+      val (m0, p0) = origB1((v._2, v._3))
+      assert(v._5 == p0, s"passed diverges after torn-batch replay: $v")
+      assert(math.abs(v._4 - m0) <= 1e-9 * math.max(1.0, math.abs(m0)),
+        s"metric diverges after torn-batch replay: $v vs $m0")
+    }
     code.unpersist()
   }
 }
