@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-4 paired scaling block: 320M rows — the largest input that fits this
+# sandbox's disk with spill headroom (512M rows ≈ 72 GB input + ~35 GB
+# cache-spill/shuffle scratch exceeds the ~79 GB available even after
+# deleting the 256M input; 320M ≈ 45 GB input + ~28 GB scratch fits).
+# 8 vs 32 cores, 3 timed runs per level after a full-size JIT warm-up,
+# same-day CpuProbe ceiling stamps before and after, ambient-load stamps
+# before each leg (the shared-VM protocol in BENCH/BASELINE.md).
+set -u
+LOG=${1:-/root/repo/BENCH/scaling_320m_r4.log}
+ROWS=320000000
+INPUT=/tmp/graft_bench_input_$ROWS
+RUN=/tmp/graft_run.sh
+{
+echo "=== round-4 scaling block $(date -u +%FT%TZ) ==="
+echo "--- generate (idempotent) ---"; uptime; df -h / | tail -1
+SPARK_GRAFT_SUITE_ROWS=$ROWS $RUN graft.GenBenchInput 2>/dev/null | tail -1
+du -sh $INPUT; df -h / | tail -1
+for c in 8 32; do
+  echo "--- CpuProbe cpus=$c $(date -u +%FT%TZ) ---"; uptime
+  SPARK_GRAFT_CPUS=$c $RUN graft.CpuProbe 2>/dev/null | tail -1
+done
+for c in 8 32; do
+  echo "--- ProfileSuite cpus=$c $(date -u +%FT%TZ) ---"; uptime
+  SPARK_GRAFT_CPUS=$c SPARK_GRAFT_INPUT=$INPUT SPARK_GRAFT_PROBE_RUNS=3 \
+    $RUN graft.ProfileSuite 2>/dev/null | tail -1
+  rm -rf /tmp/prof*
+done
+echo "--- CpuProbe re-stamp after block $(date -u +%FT%TZ) ---"; uptime
+for c in 8 32; do
+  SPARK_GRAFT_CPUS=$c $RUN graft.CpuProbe 2>/dev/null | tail -1
+done
+echo "=== done $(date -u +%FT%TZ) ==="
+} >> "$LOG" 2>&1
