@@ -135,6 +135,13 @@ object Dedup {
     finally sigs.unpersist(blocking = false)
   }
 
+  /** The (band, bkey, id) bucket table of a signature table — the compact
+    * banding projection every minhash candidate join runs on.
+    */
+  private def minhashBuckets(sigs: DataFrame, bands: Int, k: Int): DataFrame =
+    sigs.select(col("id"),
+      posexplode(lshBandKeys(col("sig"), bands, k)).as(Seq("band", "bkey")))
+
   /** The banding + agreement-threshold half of [[minhashLshPairs]], over a
     * PRECOMPUTED signature table (id, sig) — for callers that already hold
     * signatures (an incremental pipeline keying off a committed signature
@@ -147,12 +154,20 @@ object Dedup {
                               k: Int = 64, bands: Int = 16): DataFrame = {
     // band shuffle carries ONLY (band, bkey, id) — the 8·k-byte signatures
     // are re-attached to the (far smaller) deduplicated candidate set
-    val buckets = sigs.select(col("id"),
-        posexplode(lshBandKeys(col("sig"), bands, k)).as(Seq("band", "bkey")))
+    val buckets = minhashBuckets(sigs, bands, k)
     val l = buckets.select(col("band"), col("bkey"), col("id").as("id1"))
     val r = buckets.select(col("band"), col("bkey"), col("id").as("id2"))
     val cand = l.join(r, Seq("band", "bkey")).where(col("id1") < col("id2"))
       .select("id1", "id2").dropDuplicates("id1", "id2")
+    minhashPairsFromCandidates(cand, sigs, threshold, k)
+  }
+
+  /** Signature re-attach + agreement estimate + threshold over a candidate
+    * pair set — the shared tail of every minhash pair pipeline. Returns a
+    * persisted, materialized result (same cache-hygiene contract).
+    */
+  private def minhashPairsFromCandidates(cand: DataFrame, sigs: DataFrame,
+                                         threshold: Double, k: Int): DataFrame = {
     val out = cand
       .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
       .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
@@ -171,6 +186,44 @@ object Dedup {
     try out.count()
     catch { case e: Throwable => out.unpersist(blocking = false); throw e }
     out
+  }
+
+  /** INCREMENTAL near-dup detection: pairs involving at least one NEW
+    * document — new↔new and new↔corpus, never corpus↔corpus — against a
+    * corpus whose signatures are already committed (e.g. the audit table's
+    * signature store written by an earlier run). The training-pipeline
+    * shape: each crawl batch dedups against everything seen so far without
+    * re-reading or re-hashing a byte of corpus TEXT, and corpus-internal
+    * pairs (already emitted when those batches arrived) are excluded by
+    * construction rather than re-found and re-filtered.
+    *
+    * Scale: the corpus side contributes only its (band, bkey, id) bucket
+    * projection — 3 longs/row × bands — to the join against the (small) new
+    * batch's buckets; with the bucket join hash-partitioned on (band, bkey)
+    * the per-batch cost is corpus-bucket-scan + new-batch-sized shuffle,
+    * not corpus², and at 10^12 files a bucket-partitioned committed store
+    * makes it new-batch-sized only. Ids must be unique ACROSS both inputs.
+    * Equivalence law (DedupSpec): result == minhashLshPairsFromSigs(new ∪
+    * corpus) minus its corpus↔corpus pairs. Returned pairs are persisted +
+    * materialized; both signature inputs' lifecycles belong to the caller.
+    */
+  def incrementalMinhashPairs(newSigs: DataFrame, corpusSigs: DataFrame,
+                              threshold: Double = 0.5, k: Int = 64,
+                              bands: Int = 16): DataFrame = {
+    val nb = minhashBuckets(newSigs, bands, k)
+    val cb = minhashBuckets(corpusSigs, bands, k)
+    val nn = nb.select(col("band"), col("bkey"), col("id").as("id1"))
+      .join(nb.select(col("band"), col("bkey"), col("id").as("id2")), Seq("band", "bkey"))
+      .where(col("id1") < col("id2")).select("id1", "id2")
+    // new↔corpus lands in either order in the bucket join — normalize so
+    // the pair identity (id1 < id2) matches the full-run convention
+    val nc = nb.select(col("band"), col("bkey"), col("id").as("ida"))
+      .join(cb.select(col("band"), col("bkey"), col("id").as("idb")), Seq("band", "bkey"))
+      .where(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"))
+    val cand = nn.unionByName(nc).dropDuplicates("id1", "id2")
+    minhashPairsFromCandidates(cand, newSigs.unionByName(corpusSigs), threshold, k)
   }
 
   // ---------------------------------------------------------------- simhash

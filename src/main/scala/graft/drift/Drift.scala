@@ -170,12 +170,19 @@ object Drift {
     * columns call it once and [[chiSqGof]] per entry.
     */
   def chiSquareCategorical(df: DataFrame, catCol: String, isBaseline: Column,
-                           topK: Int = CatTopK): (Double, Double, Long) = {
-    val rows = meltedCatCounts(df, Seq(catCol), isBaseline, topK)(catCol)
-    val ref = rows.map(r => r._1 -> r._2).toMap
-    val cur = rows.map(r => r._1 -> r._3).toMap
-    chiSqGof(ref, cur)
-  }
+                           topK: Int = CatTopK): (Double, Double, Long) =
+    chiSquareCategoricalMulti(df, Seq(catCol), isBaseline, topK)(catCol)
+
+  /** Chi-square over several categorical columns sharing the one melted
+    * salted capped-count job ([[meltedCatCounts]]). Returns
+    * (statistic, p-value, dof) per column — constant job count in width.
+    */
+  def chiSquareCategoricalMulti(df: DataFrame, catCols: Seq[String], isBaseline: Column,
+                                topK: Int = CatTopK): Map[String, (Double, Double, Long)] =
+    meltedCatCounts(df, catCols, isBaseline, topK).map { case (c, rows) =>
+      c -> chiSqGof(rows.map(r => r._1 -> r._2).toMap,
+        rows.map(r => r._1 -> r._3).toMap)
+    }
 
   /** Every categorical column's per-side category counts in ONE melted
     * groupBy, capped per column to the top `topK` categories + one

@@ -76,6 +76,11 @@ class AnnSpec extends GraftSpec {
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"default-path LSH recall $recall too low")
+    // a caller-supplied corpusCount must yield the IDENTICAL index config
+    // (it only replaces the sizing count job, not the derivation)
+    val counted = Ann.lshTopK(q, e, "vec_id", "embedding", k = 5, corpusCount = 500L)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(counted == approx, "corpusCount path must match the counted path")
   }
 
   test("more tables monotonically add candidate coverage (banding tradeoff)") {

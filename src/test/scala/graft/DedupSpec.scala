@@ -60,6 +60,31 @@ class DedupSpec extends GraftSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incrementalMinhashPairs == full-run pairs minus corpus-internal pairs") {
+    // corpus = docs {1, 3} already committed; new batch = docs {2, 4}.
+    // 2 is a near-dup of 1 (cross pair), 4 an exact dup of 1 (cross pair);
+    // (1,4)... both cross; no corpus-internal near-dups here, so also run
+    // a corpus containing a dup pair to prove the EXCLUSION side
+    val sigsAll = Dedup.minhashSignatures(docs, "doc_id", "text", 64, 3).persist()
+    try {
+      val corpus = sigsAll.where(col("id").isin(1L, 4L)) // (1,4) are exact dups
+      val fresh = sigsAll.where(col("id").isin(2L, 3L))
+      val inc = Dedup.incrementalMinhashPairs(fresh, corpus)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val full = Dedup.minhashLshPairsFromSigs(sigsAll)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val corpusIds = Set(1L, 4L)
+      val expected = full.filterNot(p => corpusIds(p._1) && corpusIds(p._2))
+      assert(inc == expected,
+        s"incremental ${inc} != full-minus-corpus ${expected}")
+      // the corpus-internal exact-dup pair (1,4) must have been excluded
+      assert(full.exists(p => p._1 == 1L && p._2 == 4L))
+      assert(!inc.exists(p => p._1 == 1L && p._2 == 4L))
+      // and a cross pair must be present (2 is a near-dup of 1)
+      assert(inc.exists(p => p._1 == 1L && p._2 == 2L))
+    } finally sigsAll.unpersist()
+  }
+
   test("minhash signature agreement estimates true jaccard") {
     val sh = docs.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
     val sig = docs.select(col("doc_id"),
