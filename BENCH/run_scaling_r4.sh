@@ -21,9 +21,10 @@ for c in 8 32; do
   SPARK_GRAFT_CPUS=$c $RUN graft.CpuProbe 2>/dev/null | tail -1
 done
 for c in 8 32; do
-  echo "--- ProfileSuite cpus=$c $(date -u +%FT%TZ) ---"; uptime
+  echo "--- ProfileSuite cpus=$c $(date -u +%FT%TZ) ---"; uptime; df -h / | tail -1
   SPARK_GRAFT_CPUS=$c SPARK_GRAFT_INPUT=$INPUT SPARK_GRAFT_PROBE_RUNS=3 \
-    $RUN graft.ProfileSuite 2>/dev/null | tail -1
+    $RUN graft.ProfileSuite 2>/tmp/scaling_leg_$c.err | tail -1 \
+    || { echo "LEG cpus=$c FAILED — stderr tail:"; tail -3 /tmp/scaling_leg_$c.err; }
   rm -rf /tmp/prof*
 done
 echo "--- CpuProbe re-stamp after block $(date -u +%FT%TZ) ---"; uptime

@@ -13,6 +13,11 @@ object ProfileSuite {
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "3").toInt
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle files live until ContextCleaner notices their dependency
+      // objects are garbage; the 30 min default lets 3-4 large-input runs'
+      // shuffles accumulate on disk simultaneously (measured: ~14 GB/run at
+      // 320M rows — filled the sandbox disk and killed the run with ENOSPC)
+      .config("spark.cleaner.periodicGC.interval", "120s")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val code = spark.read.parquet(input)
@@ -24,7 +29,11 @@ object ProfileSuite {
       val io = new ParquetTableIO(java.nio.file.Files.createTempDirectory("prof").toString)
       val t0 = System.nanoTime()
       graft.suite.SuiteRunner.run(spark, code, dim, io)
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // prompt shuffle-file reclamation BETWEEN timed runs (outside the
+      // timer): previous runs' shuffle dependencies become unreachable here
+      System.gc()
+      t
     }
     once() // warm-up (JIT of generated code)
     val ts = (1 to runs).map(_ => once()).sorted
