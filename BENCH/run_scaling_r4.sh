@@ -1,14 +1,17 @@
 #!/bin/bash
-# Round-4 paired scaling block: 320M rows — the largest input that fits this
-# sandbox's disk with spill headroom (512M rows ≈ 72 GB input + ~35 GB
-# cache-spill/shuffle scratch exceeds the ~79 GB available even after
-# deleting the 256M input; 320M ≈ 45 GB input + ~28 GB scratch fits).
+# Round-4 paired scaling block: 288M rows — the deepest rung that fits this
+# sandbox's disk. Measured at 320M: ONE run's scratch (disk-cached slim
+# projection overflow ~18 GB + live shuffle files ~13+ GB) plus the 45 GB
+# input exceeds the 79 GB available and dies ENOSPC mid-warm-up; at 288M
+# (40.5 GB input + ~28 GB peak scratch) the block fits with headroom.
+# 512M (72 GB + ~45 GB scratch) was never close.
 # 8 vs 32 cores, 3 timed runs per level after a full-size JIT warm-up,
 # same-day CpuProbe ceiling stamps before and after, ambient-load stamps
 # before each leg (the shared-VM protocol in BENCH/BASELINE.md).
 set -u
-LOG=${1:-/root/repo/BENCH/scaling_320m_r4.log}
-ROWS=320000000
+set -o pipefail
+LOG=${1:-/root/repo/BENCH/scaling_288m_r4.log}
+ROWS=288000000
 INPUT=/tmp/graft_bench_input_$ROWS
 RUN=/tmp/graft_run.sh
 {
