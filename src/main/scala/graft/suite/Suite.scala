@@ -199,10 +199,15 @@ object SuiteRunner {
         col("lang"), col("repo"),
         // violation-sample key as JSON, not a delimiter join: JSON escaping
         // makes the round-trip safe for ANY character in repo/path/commit
-        // (a NUL or control char in a path must not mis-split the triple)
-        to_json(struct(coalesce(col("repo"), lit("")).as("repo"),
-          coalesce(col("path"), lit("")).as("path"),
-          coalesce(col("commit"), lit("")).as("commit"))).as("key3"),
+        // (a NUL or control char in a path must not mis-split the triple).
+        // Computed ONLY for mismatching rows: the ~100-byte string would
+        // otherwise dominate the cached slim projection (~60% of its bytes
+        // — measured ~34 GB of disk-cache spill per run at 288M rows) while
+        // the MinK sample aggregate ignores every clean row anyway
+        when(sha2(col("content"), 256) =!= col("expected_sha256"),
+          to_json(struct(coalesce(col("repo"), lit("")).as("repo"),
+            coalesce(col("path"), lit("")).as("path"),
+            coalesce(col("commit"), lit("")).as("commit")))).as("key3"),
         xxhash64(col("repo"), col("path"), col("commit")).as("keyhash"),
         xxhash64(col("repo"), col("path"), col("commit"), col("content")).as("rowhash"))
       .persist()
