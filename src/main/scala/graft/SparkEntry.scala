@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.dedup.Dedup
 import graft.drift.{Drift, KsTest}
-import graft.sim.Ann
+import graft.sim.{Ann, Ivf}
 import graft.stats.{Sketches, Stats}
 import graft.text.TextAnalysis
 
@@ -502,6 +502,32 @@ object SparkEntry {
       val res = Ann.lshTopK(qs, e, "vec_id", "embedding", k = 5, bits = 8, tables = 4)
       val hits = res.where(col("neighbor_id") === col("query_id") - 100000).count()
       Seq((hits.toDouble / 20 >= 0.9, 20L)).toDF("recall_ok", "n_queries")
+    }),
+
+    // IVF ANN (coarse-quantizer scale path), DuckDB-oracled from the
+    // written index halves: the query dumps the trained unit-norm
+    // centroids and the Spark-computed list assignments; the oracle
+    // re-derives probe selection (top-nprobe centroids by cosine, lowest
+    // list_id tie-break), the candidate join against the dumped
+    // assignments, the self-exclusion, exact cosine scoring and the
+    // rank-≤-k window — the q_minhash_pairs dump-and-rederive pattern.
+    // k-means itself is validated separately (IvfSpec determinism +
+    // exactness vs brute force at nprobe = nlist).
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val cents = Ivf.trainCentroids(e, "vec_id", "embedding", nlist = 16)
+      Ivf.centroidsDF(s, cents)
+        .write.mode("overwrite").parquet("/tmp/graft_oracle/ivf_centroids")
+      val assign = Ivf.assignLists(e, "vec_id", "embedding", cents)
+      assign.write.mode("overwrite").parquet("/tmp/graft_oracle/ivf_assign")
+      // candidates rejoin the WRITTEN assignments (not the in-memory plan)
+      // so the oracle's candidate set is byte-identical to ours
+      Ivf.ivfTopKFromIndex(e.where(col("vec_id") < 10), e,
+          s.read.parquet("/tmp/graft_oracle/ivf_assign"),
+          cents, "vec_id", "embedding", k = 5, nprobe = 4)
+        .withColumn("cosine", r(col("cosine"), 4))
+        .orderBy("query_id", "rank")
     }),
 
     // ===== text analysis =====
@@ -1175,6 +1201,44 @@ object SparkEntry {
          scored AS (
            SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
            FROM q, c WHERE query_id <> neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // IVF search re-derived from the written index: probes = top-4 of the
+    // 16 dumped centroids by cosine (lowest list_id on ties), candidates
+    // from the dumped assignment table, exact cosine re-rank, rank <= 5
+    "q_ann_ivf" ->
+      """WITH cents AS (
+           SELECT list_id, centroid
+           FROM read_parquet('/tmp/graft_oracle/ivf_centroids/*.parquet')),
+         assign AS (
+           SELECT id, list_id
+           FROM read_parquet('/tmp/graft_oracle/ivf_assign/*.parquet')),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         probes AS (
+           SELECT query_id, list_id FROM (
+             SELECT q.query_id, c.list_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC,
+                               c.list_id ASC) AS pr
+             FROM q, cents c)
+           WHERE pr <= 4),
+         cand AS (
+           SELECT p.query_id, a.id AS neighbor_id
+           FROM probes p JOIN assign a ON a.list_id = p.list_id
+           WHERE a.id <> p.query_id),
+         scored AS (
+           SELECT c.query_id, c.neighbor_id,
+                  list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+           FROM cand c
+           JOIN q ON q.query_id = c.query_id
+           JOIN embeddings e ON e.vec_id = c.neighbor_id),
          ranked AS (
            SELECT query_id, neighbor_id, cos,
                   row_number() OVER (PARTITION BY query_id
