@@ -1,10 +1,11 @@
 #!/bin/bash
 # Round-4 paired scaling block: 288M rows — the deepest rung that fits this
-# sandbox's disk. Measured at 320M: ONE run's scratch (disk-cached slim
-# projection overflow ~18 GB + live shuffle files ~13+ GB) plus the 45 GB
-# input exceeds the 79 GB available and dies ENOSPC mid-warm-up; at 288M
-# (40.5 GB input + ~28 GB peak scratch) the block fits with headroom.
-# 512M (72 GB + ~45 GB scratch) was never close.
+# sandbox's disk (thin-provisioned: ~94 GB real capacity despite df's 252 GB).
+# Measured at 320M: ONE run's scratch (disk-cached slim projection overflow
+# ~18 GB + live shuffle files ~13+ GB) plus the 45 GB input dies ENOSPC
+# mid-warm-up; 288M under the lz4 default ALSO died ENOSPC twice — the rung
+# fits only with zstd shuffle/spill compression (set in ProfileSuite) plus
+# the 60%-shrunk cached projection. 512M (72 GB + scratch) was never close.
 # 8 vs 32 cores, 3 timed runs per level after a full-size JIT warm-up,
 # same-day CpuProbe ceiling stamps before and after, ambient-load stamps
 # before each leg (the shared-VM protocol in BENCH/BASELINE.md).

@@ -18,6 +18,13 @@ object ProfileSuite {
       // shuffles accumulate on disk simultaneously (measured: ~14 GB/run at
       // 320M rows — filled the sandbox disk and killed the run with ENOSPC)
       .config("spark.cleaner.periodicGC.interval", "120s")
+      // zstd for shuffle/spill (lz4 default): ONE run's live shuffle files
+      // + cache spill at 288M rows exceed this sandbox's ~38 GB of scratch
+      // headroom under lz4 (measured ENOSPC mid-warm-up twice); zstd cuts
+      // shuffle bytes ~35-45% on this string-heavy table. Also the config
+      // a real spill-bound cluster would run — both parallelism legs use
+      // the same codec, so the 8-vs-32 comparison is internally consistent
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val code = spark.read.parquet(input)
@@ -25,14 +32,24 @@ object ProfileSuite {
     // input can't be silently profiled as if it had the assumed row count
     val codeRows = code.count()
     val dim = graft.gen.CodeTableGen.repoLangDim(spark)
+    def deleteRecursively(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRecursively)
+      f.delete(): Unit
+    }
     def once(): Double = {
-      val io = new ParquetTableIO(java.nio.file.Files.createTempDirectory("prof").toString)
+      val dir = java.nio.file.Files.createTempDirectory("prof")
+      val io = new ParquetTableIO(dir.toString)
       val t0 = System.nanoTime()
       graft.suite.SuiteRunner.run(spark, code, dim, io)
       val t = (System.nanoTime() - t0) / 1e9
-      // prompt shuffle-file reclamation BETWEEN timed runs (outside the
-      // timer): previous runs' shuffle dependencies become unreachable here
+      // reclaim THIS run's audit output and prompt shuffle-file cleanup
+      // BETWEEN timed runs (outside the timer): previous runs' shuffle
+      // dependencies become unreachable here, and the per-run audit dirs
+      // would otherwise stack up across the leg's 4 runs
+      deleteRecursively(dir.toFile)
       System.gc()
+      System.err.println(f"[prof] run ${t}%.1f s, disk free ${
+        new java.io.File("/tmp").getUsableSpace / (1 << 30)}%d GiB")
       t
     }
     once() // warm-up (JIT of generated code)
