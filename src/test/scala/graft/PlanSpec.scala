@@ -93,4 +93,23 @@ class PlanSpec extends GraftSpec {
     assert(plan.contains("HashAggregate"), plan)
     assert(plan.contains("Exchange"), plan)
   }
+
+  test("IVF: centroid assignment and probe selection are shuffle-free narrow passes") {
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = graft.sim.Ivf.trainCentroids(e, "vec_id", "embedding", nlist = 4)
+    // the corpus-side index build: one codegen'd projection, no Exchange
+    val assign = graft.sim.Ivf.assignLists(e, "vec_id", "embedding", cents)
+    val aPlan = assign.queryExecution.executedPlan.toString
+    assert(!aPlan.contains("Exchange"), s"assignment shuffles: $aPlan")
+    assert(aPlan.contains("Project"), aPlan)
+    // the query-side probe build (array-local centroid sort + explode):
+    // everything before the candidate join is narrow too
+    val probes = graft.sim.Ivf.ivfTopKFromIndex(
+        e.where(col("vec_id") < 5), e, assign, cents,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }
+    assert(probes.nonEmpty, "probe explode missing from the IVF plan")
+  }
 }
