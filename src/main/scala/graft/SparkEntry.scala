@@ -530,6 +530,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // SELF-VALIDATING IVF retrieval (the q_ann_lsh shape): perturbed
+    // copies of 20 corpus vectors (cosine ≈ 0.999 to their origin) must
+    // retrieve the origin in their IVF top-k at nprobe 4/16. Complements
+    // q_ann_ivf, whose oracle rides OUR dumped assignments and so cannot
+    // catch a semantically broken assignment pass — this one can.
+    "q_ann_ivf_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val qs = e.where(col("vec_id") < 20).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => when(i === 0, x + lit(0.05d)).otherwise(x)).as("embedding"))
+      val res = Ivf.ivfTopK(qs, e, "vec_id", "embedding", k = 5,
+        nlist = 16, nprobe = 4)
+      val hits = res.where(col("neighbor_id") === col("query_id") - 100000).count()
+      Seq((hits.toDouble / 20 >= 0.9, 20L)).toDF("recall_ok", "n_queries")
+    }),
+
     // ===== text analysis =====
 
     "q_token_stats" -> ((s, dir) => {
@@ -1183,6 +1202,9 @@ object SparkEntry {
       "SELECT true AS p50_ok, true AS p95_ok",
 
     "q_ann_lsh" ->
+      "SELECT true AS recall_ok, CAST(20 AS BIGINT) AS n_queries",
+
+    "q_ann_ivf_recall" ->
       "SELECT true AS recall_ok, CAST(20 AS BIGINT) AS n_queries",
 
     "q_minhash_recall" ->

@@ -144,6 +144,10 @@ object Ivf {
   /** Best-cosine list for each corpus vector (ties → lowest `list_id`,
     * via first-occurrence `array_position` on the exact same score
     * values). One narrow pass over the corpus; output `(id, list_id)`.
+    * Rows with a null/empty vector get a null `list_id` and therefore
+    * never surface as candidates. Row-wise and centroid-pinned, so an
+    * incremental pipeline assigns ONLY new rows and unions with the
+    * stored assignment table — identical to a full rebuild (tested).
     */
   def assignLists(corpus: DataFrame, idCol: String, vecCol: String,
                   centroids: Array[Array[Double]]): DataFrame = {

@@ -96,6 +96,32 @@ class IvfSpec extends GraftSpec {
     assert(a.nonEmpty)
   }
 
+  test("incremental index maintenance: assigning only the delta matches a full rebuild") {
+    val e = clustered(300, 16, 8)
+    val base = e.where(col("vec_id") < 200)
+    val delta = e.where(col("vec_id") >= 200)
+    val cents = Ivf.trainCentroids(base, "vec_id", "embedding", nlist = 8)
+    val full = Ivf.assignLists(e, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    val incremental = Ivf.assignLists(base, "vec_id", "embedding", cents)
+      .unionByName(Ivf.assignLists(delta, "vec_id", "embedding", cents))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(incremental.toSeq == full.toSeq)
+    // and a search over the incrementally-maintained index matches one over
+    // the rebuilt index
+    val q = e.where(col("vec_id") < 5)
+    val incIdx = Ivf.assignLists(base, "vec_id", "embedding", cents)
+      .unionByName(Ivf.assignLists(delta, "vec_id", "embedding", cents))
+    val a = Ivf.ivfTopKFromIndex(q, e, incIdx, cents, "vec_id", "embedding",
+        k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    val b = Ivf.ivfTopKFromIndex(q, e,
+        Ivf.assignLists(e, "vec_id", "embedding", cents), cents,
+        "vec_id", "embedding", k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("autoNlist: power-of-two near sqrt(n), clamped") {
     assert(Ivf.autoNlist(0) == 4)
     assert(Ivf.autoNlist(100) == 16)
