@@ -20,6 +20,16 @@ object SparkEntry {
 
   private val BaselineDate = "1998-01-01" // lineitem baseline/current split
 
+  /** Verify sets this so correctness-gate queries write the parquet dumps
+    * their DuckDB oracles re-derive from. Bench leaves it false: the two
+    * LSH pair queries are bench headlines, and the dump write is pure
+    * Verify-side bookkeeping that would otherwise inflate their timings
+    * (and their persists exist only to back the dump + oracle parity).
+    * Queries whose own RESULT depends on a dump (q_ann_ivf rejoins its
+    * written assignments) keep writing unconditionally.
+    */
+  @volatile var oracleDumps: Boolean = false
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -378,7 +388,8 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatures(nearDupCorpus(s, dir), "doc_id", "text", 64, 3)
         .persist()
-      sigs.write.mode("overwrite").parquet("/tmp/graft_oracle/minhash_sigs")
+      if (oracleDumps)
+        sigs.write.mode("overwrite").parquet("/tmp/graft_oracle/minhash_sigs")
       val out = try Dedup.minhashLshPairsFromSigs(sigs, threshold = 0.5)
         finally sigs.unpersist(blocking = false)
       out.orderBy("id1", "id2")
@@ -390,11 +401,21 @@ object SparkEntry {
     // candidate join, hamming distance (bit_count of xor, two's complement
     // in both engines) and the ≤3 filter
     "q_simhash_pairs" -> ((s, dir) => {
-      val sh = Dedup.simhashes(nearDupCorpus(s, dir), "doc_id", "text").persist()
-      sh.write.mode("overwrite").parquet("/tmp/graft_oracle/simhashes")
-      Dedup.simhashPairsFromHashes(sh, maxDist = 3)
-        .withColumn("hamming", col("hamming").cast("long"))
-        .orderBy("id1", "id2")
+      // dump path: sh persists to back the dump write + the 4-block
+      // self-join; the lazy result still references the cache, so the
+      // unpersist is the Verify driver's clearCache after the result is
+      // written. Bench path: the pre-dump lazy shape, no persist to leak.
+      if (oracleDumps) {
+        val sh = Dedup.simhashes(nearDupCorpus(s, dir), "doc_id", "text").persist()
+        sh.write.mode("overwrite").parquet("/tmp/graft_oracle/simhashes")
+        Dedup.simhashPairsFromHashes(sh, maxDist = 3)
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy("id1", "id2")
+      } else {
+        Dedup.simhashPairs(nearDupCorpus(s, dir), "doc_id", "text", maxDist = 3)
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy("id1", "id2")
+      }
     }),
 
     // exact word-3-gram Jaccard re-rank over a DETERMINISTIC candidate set

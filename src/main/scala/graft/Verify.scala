@@ -15,6 +15,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // correctness-gate queries write the parquet dumps their DuckDB
+    // oracles re-derive from; Bench leaves this false (headline timings
+    // must exclude Verify-side bookkeeping)
+    SparkEntry.oracleDumps = true
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -99,9 +99,10 @@ object Drift {
     val structs = live.map { case (c, i) =>
       struct(lit(i).as("cid"), col(c).cast("double").as("v"))
     }
+    // NULL isBaseline → neither side (both whens fall to 0), like a filter
     val melted = df.select(explode(array(structs: _*)).as("nv"),
         when(isBaseline, 1L).otherwise(0L).as("s1"),
-        when(isBaseline, 0L).otherwise(1L).as("s2"))
+        when(!isBaseline, 1L).otherwise(0L).as("s2"))
       .select(col("nv.cid").as("cid"), col("nv.v").as("v"), col("s1"), col("s2"))
       .where(col("v").isNotNull && !isnan(col("v")))
     val bucket = live.foldLeft(lit(0)) { case (acc, (_, i)) =>
@@ -215,9 +216,10 @@ object Drift {
     // so they never consume a phase-2 rank slot
     val perCol = w.partitionBy("name")
       .orderBy((col("vc") === OtherBucket).asc, col("c1").desc, col("c2").desc, col("vc"))
+    // NULL isBaseline → neither side (both whens fall to 0), like a filter
     val rows = df.select(explode(array(structs: _*)).as("nv"),
         when(isBaseline, 1L).otherwise(0L).as("s1"),
-        when(isBaseline, 0L).otherwise(1L).as("s2"))
+        when(!isBaseline, 1L).otherwise(0L).as("s2"))
       .select(col("nv.name").as("name"), col("nv.v").as("v"), col("s1"), col("s2"))
       .where(col("v").isNotNull)
       .groupBy("name", "v").agg(sum("s1").as("c1"), sum("s2").as("c2"))

@@ -45,9 +45,11 @@ object KsTest {
     val structs = valueCols.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cid"), col(c).cast("double").as("v"))
     }
+    // a NULL isBaseline condition puts the row on NEITHER side (both
+    // whens fall to 0) — matching a WHERE-style filter, not a coin flip
     df.select(explode(array(structs: _*)).as("nv"),
         when(isBaseline, 1L).otherwise(0L).as("s1"),
-        when(isBaseline, 0L).otherwise(1L).as("s2"))
+        when(!isBaseline, 1L).otherwise(0L).as("s2"))
       .select(col("nv.cid").as("cid"), col("nv.v").as("v"), col("s1"), col("s2"))
       .where(col("v").isNotNull && !isnan(col("v")))
       .groupBy("cid", "v")

@@ -599,6 +599,22 @@ object SuiteRunner {
       io.commit("verdicts", b,
         s"""{"batch_id":$b,"rows":${a.rows},"fingerprint":"${a.fingerprint}","suite":"$SuiteVersion"}""")
     }
+    // re-stamp path: when the baseline's committed artifacts were rejected
+    // by the version gate (or never existed) and the baseline was NOT a
+    // pending batch (whose normal write/commit above already stamped it),
+    // the snapshot just recomputed from the input is committed under the
+    // CURRENT version — otherwise an upgraded audit dir re-scans the
+    // baseline partition forever and a later run whose input no longer
+    // carries that partition dies instead of reloading
+    if (baselineFromAudit.isEmpty && !pending.contains(baselineBatch)) {
+      // drop batch_id: writePartition targets the batch_id=<p> directory
+      // directly, and readCommitted re-derives the column from the path
+      // (the same layout writeAllPartitions' partitionBy produces)
+      io.writePartition(Seq(toRow(base)).toDF().drop("batch_id"),
+        "artifacts", baselineBatch)
+      io.commit("artifacts", baselineBatch,
+        s"""{"batch_id":$baselineBatch,"suite":"$SuiteVersion"}""")
+    }
     out.toSeq
   }
 }

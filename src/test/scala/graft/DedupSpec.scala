@@ -61,10 +61,10 @@ class DedupSpec extends GraftSpec {
   }
 
   test("incrementalMinhashPairs == full-run pairs minus corpus-internal pairs") {
-    // corpus = docs {1, 3} already committed; new batch = docs {2, 4}.
-    // 2 is a near-dup of 1 (cross pair), 4 an exact dup of 1 (cross pair);
-    // (1,4)... both cross; no corpus-internal near-dups here, so also run
-    // a corpus containing a dup pair to prove the EXCLUSION side
+    // corpus = docs {1, 4} already committed (an exact-dup pair — the
+    // corpus-INTERNAL pair the incremental run must EXCLUDE); new batch =
+    // docs {2, 3}: 2 is a near-dup of 1 (a cross pair the run must emit),
+    // 3 is unrelated
     val sigsAll = Dedup.minhashSignatures(docs, "doc_id", "text", 64, 3).persist()
     try {
       val corpus = sigsAll.where(col("id").isin(1L, 4L)) // (1,4) are exact dups

@@ -138,4 +138,24 @@ class DriftCapSpec extends GraftSpec {
     assert(chi.p_value == 1.0)
     assert(!chi.drift_detected)
   }
+
+  test("NULL isBaseline condition rows land on NEITHER side (filter semantics)") {
+    import spark.implicits._
+    // the null-b row carries extreme values on every column: were it
+    // counted on either side, each statistic below would shift
+    val df = Seq(
+      (Option(0L), 1.0, "a"), (Option(0L), 3.0, "a"), (Option(0L), 2.0, "b"),
+      (Option(1L), 2.0, "b"), (Option(1L), 4.0, "a"), (Option(1L), 1.0, "b"),
+      (Option.empty[Long], 99.0, "zzz")).toDF("b", "x", "c")
+    val cond = col("b") === 0L // null b → NULL condition
+    val filtered = df.where(col("b").isNotNull)
+    assert(graft.drift.Drift.psiNumericMulti(df, Seq("x"), cond) ==
+      graft.drift.Drift.psiNumericMulti(filtered, Seq("x"), cond))
+    assert(graft.drift.Drift.psiCategoricalMulti(df, Seq("c"), cond) ==
+      graft.drift.Drift.psiCategoricalMulti(filtered, Seq("c"), cond))
+    assert(graft.drift.Drift.chiSquareCategoricalMulti(df, Seq("c"), cond) ==
+      graft.drift.Drift.chiSquareCategoricalMulti(filtered, Seq("c"), cond))
+    assert(graft.drift.KsTest.ks2SampMulti(df, Seq("x"), cond) ==
+      graft.drift.KsTest.ks2SampMulti(filtered, Seq("x"), cond))
+  }
 }

@@ -192,6 +192,40 @@ class SuiteSpec extends GraftSpec {
     } finally rmdir(root)
   }
 
+  test("version-gated artifacts are re-stamped after a recompute: upgraded audit dirs reload, not crash") {
+    val root = tempDir()
+    try {
+      val io = new ParquetTableIO(root)
+      SuiteRunner.run(spark, code.where(col("batch_id") < 2), dim, io)
+      // simulate a PRE-UPGRADE audit dir: the baseline's artifacts commit
+      // meta lacks the current suite version, so the gate must reject it
+      Files.writeString(Path.of(s"$root/artifacts/_manifest/p0.json"),
+        """{"batch_id":0}""")
+      // a run whose input still carries the baseline partition recomputes
+      // the reference AND must re-stamp the snapshot under the current
+      // version (batch 2 is the only pending batch)
+      SuiteRunner.run(spark, code.where(col("batch_id") <= 2), dim, io)
+      assert(Files.readString(Path.of(s"$root/artifacts/_manifest/p0.json"))
+        .contains("\"suite\""), "baseline artifacts not re-stamped")
+      // the decisive leg: input WITHOUT the baseline partition — before the
+      // re-stamp path this threw (gate rejects, nothing to re-scan)
+      val resumed = SuiteRunner.run(spark, code.where(col("batch_id") === 3), dim, io)
+      assert(resumed.map(_.batch_id).distinct == Seq(3L))
+      // verdicts equal the all-at-once run (the reloaded snapshot is real)
+      val full = {
+        val r2 = tempDir()
+        try SuiteRunner.run(spark, code, dim, new ParquetTableIO(r2))
+        finally rmdir(r2)
+      }
+      val fullMap = full.filter(_.batch_id == 3)
+        .map(v => (v.check, v.column) -> (v.metric, v.p_value.toString, v.passed)).toMap
+      resumed.foreach { v =>
+        assert(fullMap((v.check, v.column)) == ((v.metric, v.p_value.toString, v.passed)),
+          s"mismatch: $v")
+      }
+    } finally rmdir(root)
+  }
+
   test("missing baseline batch fails fast with a clear message") {
     val root = tempDir()
     try {
