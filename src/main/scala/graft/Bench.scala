@@ -20,6 +20,10 @@ object Bench {
     "q_agg_pricing_summary", "q_stats_onepass", "q_ks_statistic", "q_psi",
     "q_count_window_drift", "q_growing_window_drift", "q_join_enrich",
     "q_dedup_exact", "q_minhash_pairs", "q_simhash_pairs", "q_ann_bruteforce",
+    // q_ann_ivf times the FULL committed-index lifecycle (train + assign +
+    // commit + partition-pruned search) over a throwaway root — the index
+    // build is intrinsic to the operator, so it belongs in the timing
+    "q_ann_ivf",
     "q_token_stats", "q_langid", "q_time_window_agg", "q_news_pipeline",
     "q_drift_stats")
 

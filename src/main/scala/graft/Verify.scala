@@ -17,9 +17,10 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // correctness-gate queries write the parquet dumps their DuckDB
     // oracles re-derive from; Bench leaves this false (headline timings
-    // must exclude Verify-side bookkeeping)
+    // must exclude Verify-side bookkeeping). Reset in a finally so a
+    // same-JVM caller after Verify.main can never inherit dump writes.
     SparkEntry.oracleDumps = true
-    SparkEntry.queries.foreach { case (name, fn) =>
+    try SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -29,7 +30,7 @@ object Verify {
       // pipelines — would otherwise accumulate cached blocks across all
       // ~50 queries; each result is already written, so drop everything
       spark.catalog.clearCache()
-    }
+    } finally SparkEntry.oracleDumps = false
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -388,6 +388,16 @@ object Dedup {
     val r = bands.select(col("t"), col("sig"), col("id").as("id2"))
     val cand = l.join(r, Seq("t", "sig")).where(col("id1") < col("id2"))
       .select("id1", "id2").dropDuplicates("id1", "id2")
+    embeddingPairsFromCandidates(cand, vecs, threshold)
+  }
+
+  /** Exact-cosine verification of a candidate pair set against an (id, v)
+    * vector table — the shared tail of [[embeddingPairsFromBands]] and
+    * [[incrementalEmbeddingPairs]]. Returned pairs are persisted +
+    * materialized (unpersist when done).
+    */
+  def embeddingPairsFromCandidates(cand: DataFrame, vecs: DataFrame,
+                                   threshold: Double): DataFrame = {
     val out = cand
       .join(vecs.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
       .join(vecs.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
@@ -400,6 +410,45 @@ object Dedup {
     try out.count()
     catch { case ex: Throwable => out.unpersist(blocking = false); throw ex }
     out
+  }
+
+  /** INCREMENTAL embedding near-dup detection — the sign-LSH mirror of
+    * [[incrementalMinhashPairs]]: pairs involving at least one NEW vector
+    * (new↔new and new↔corpus, never corpus↔corpus) against a corpus whose
+    * band table `(id, t, sig)` is already COMMITTED (written once by
+    * [[signLshBands]] when each earlier batch arrived). The hyperplanes
+    * are derived deterministically from `(bits, table-index)`, so bands
+    * computed for a new batch today join correctly against bands committed
+    * months ago — PROVIDED the caller passes the same `(bits, tables)` the
+    * store was built with (same contract as minhash `k`/`bands`).
+    *
+    * Scale: the corpus contributes only its `(t, sig, id)` band projection
+    * to the candidate join — corpus vectors are touched ONLY to re-attach
+    * to the (tiny) candidate set, and with the committed store partitioned
+    * by `(t, sig)` bucket the per-batch cost is new-batch-sized. Ids must
+    * be unique across both inputs. Equivalence law (DedupSpec): result ==
+    * embeddingPairsFromBands(new ∪ corpus) minus its corpus↔corpus pairs.
+    * Returned pairs are persisted + materialized; input lifecycles belong
+    * to the caller (persist `newVecs` upstream if expensive — it is
+    * referenced by the band build and both re-attach joins).
+    */
+  def incrementalEmbeddingPairs(newVecs: DataFrame, corpusVecs: DataFrame,
+                                corpusBands: DataFrame, threshold: Double,
+                                bits: Int, tables: Int): DataFrame = {
+    val nb = signLshBands(newVecs, bits, tables)
+    val nn = nb.select(col("t"), col("sig"), col("id").as("id1"))
+      .join(nb.select(col("t"), col("sig"), col("id").as("id2")), Seq("t", "sig"))
+      .where(col("id1") < col("id2")).select("id1", "id2")
+    // new↔corpus lands in either order in the bucket join — normalize so
+    // the pair identity (id1 < id2) matches the full-run convention
+    val nc = nb.select(col("t"), col("sig"), col("id").as("ida"))
+      .join(corpusBands.select(col("t"), col("sig"), col("id").as("idb")),
+        Seq("t", "sig"))
+      .where(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"))
+    val cand = nn.unionByName(nc).dropDuplicates("id1", "id2")
+    embeddingPairsFromCandidates(cand, newVecs.unionByName(corpusVecs), threshold)
   }
 
   /** Sign-LSH signature width for a target mean bucket occupancy:

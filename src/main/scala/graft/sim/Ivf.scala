@@ -3,6 +3,7 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import graft.dedup.Dedup
 
 /** IVF (inverted-file) approximate nearest-neighbor search — the coarse-
@@ -82,9 +83,16 @@ object Ivf {
     // deterministic greedy farthest-point init (max-min cosine distance):
     // one seed per well-separated mode instead of first-k, which can start
     // two seeds inside one cluster and leave Lloyd in a split/merged local
-    // optimum
+    // optimum. When every remaining max-min distance is 0 (duplicate-heavy
+    // sample, or k close to the number of distinct vectors) the greedy pick
+    // would re-select an already-chosen index; fall back to the lowest
+    // UNchosen index instead — seeds stay index-distinct (centroids may
+    // still duplicate in VALUE, which Lloyd tolerates: an empty list keeps
+    // its previous centroid).
     val seedIdx = new Array[Int](k)
     seedIdx(0) = 0
+    val chosen = new Array[Boolean](upts.length)
+    chosen(0) = true
     val minDist = Array.fill(upts.length)(Double.PositiveInfinity)
     var s = 0
     while (s < k - 1) {
@@ -95,9 +103,14 @@ object Ivf {
         while (j < dim) { d += upts(i)(j) * c(j); j += 1 }
         val dist = 1.0 - d
         if (dist < minDist(i)) minDist(i) = dist
-        if (minDist(i) > bd) { bd = minDist(i); best = i }
+        if (!chosen(i) && minDist(i) > bd) { bd = minDist(i); best = i }
         i += 1
       }
+      if (best < 0 || bd <= 0.0) {
+        best = -1; var j = 0
+        while (j < upts.length && best < 0) { if (!chosen(j)) best = j; j += 1 }
+      }
+      chosen(best) = true
       seedIdx(s + 1) = best
       s += 1
     }
@@ -135,65 +148,72 @@ object Ivf {
       .toDF("list_id", "centroid")
   }
 
-  /** Per-centroid cosine scores as codegen'd Column expressions (the
-    * centroids ride along as array literals — no join, no UDF).
-    */
-  private def scores(v: Column, centroids: Array[Array[Double]]): Array[Column] =
-    centroids.map(c => Dedup.cosine(v, typedLit(c.toSeq)))
-
   /** Best-cosine list for each corpus vector (ties → lowest `list_id`,
-    * via first-occurrence `array_position` on the exact same score
-    * values). One narrow pass over the corpus; output `(id, list_id)`.
-    * Rows with a null/empty vector get a null `list_id` and therefore
-    * never surface as candidates. Row-wise and centroid-pinned, so an
-    * incremental pipeline assigns ONLY new rows and unions with the
-    * stored assignment table — identical to a full rebuild (tested).
+    * first-occurrence argmax). One narrow codegen'd pass over the corpus
+    * via the native [[IvfAssign]] expression — plan size and optimizer
+    * cost O(1) in `nlist` (the round-4 per-centroid `typedLit` shape cost
+    * ~148 s of analysis/codegen wall at nlist=1024 × dim=768; the HOF
+    * single-literal shape fixed the plan but evaluated interpreted at
+    * ~100 ms/row — see [[IvfKernel]] and IvfPlanProbe). Output
+    * `(id, list_id)`. Degenerate rows — null, empty, or all-zero vectors
+    * (every cosine 0, so argmax would alias list 0) — get a null
+    * `list_id` and therefore never surface as candidates. Row-wise and
+    * centroid-pinned, so an incremental pipeline assigns ONLY new rows
+    * and unions with the stored assignment table — identical to a full
+    * rebuild (tested).
     */
   def assignLists(corpus: DataFrame, idCol: String, vecCol: String,
                   centroids: Array[Array[Double]]): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    val arr = array(scores(v, centroids): _*)
     corpus.select(col(idCol).as("id"),
-      (array_position(arr, array_max(arr)) - 1).cast("int").as("list_id"))
+      ColumnBridge.column(IvfAssign(ColumnBridge.expression(v), centroids))
+        .as("list_id"))
   }
 
   /** Top-`nprobe` centroid ids for a query vector, cosine-descending with
-    * lowest-index tie-break — array-local (sort of an `nlist`-element
-    * array per row), so probe selection never shuffles.
+    * lowest-index tie-break — row-local (native [[IvfProbes]] expression),
+    * so probe selection never shuffles. Degenerate query vectors yield a
+    * null probe list (they probe nothing) instead of aliasing lists
+    * 0..nprobe-1 on all-zero cosines.
     */
   private def probeExpr(v: Column, centroids: Array[Array[Double]],
-                        nprobe: Int): Column = {
-    val scored = array(scores(v, centroids).zipWithIndex.map { case (s, i) =>
-      struct((-s).as("ns"), lit(i).as("i"))
-    }: _*)
-    transform(slice(array_sort(scored), 1, nprobe), p => p.getField("i"))
-  }
+                        nprobe: Int): Column =
+    ColumnBridge.column(IvfProbes(ColumnBridge.expression(v), centroids, nprobe))
 
-  /** IVF search over a PREBUILT index (`assignments` from [[assignLists]],
-    * `centroids` from [[trainCentroids]]) — the index-reuse form that
-    * repeated query batches (and the correctness oracle's dumps) ride.
-    * Output: `(query_id, neighbor_id, cosine, rank)`, rank 1..k per query,
+  /** The probe table `(query_id, list_id)` — the query-side half of the
+    * index walk (one row per probed inverted list, top-`nprobe` by
+    * centroid cosine), exposed so the correctness oracle can ride a
+    * WRITTEN copy of the FP-sensitive top-`nprobe` cut instead of
+    * re-deriving it (a floating-point near-tie between two centroid
+    * cosines would otherwise let DuckDB flip the cut and spuriously fail
+    * the gate). The cut itself is validated elsewhere: IvfSpec's
+    * nprobe = nlist ≡ brute-force law and the self-validating recall
+    * query both exercise it semantically.
+    */
+  def probeTable(queries: DataFrame, centroids: Array[Array[Double]],
+                 idCol: String, vecCol: String, nprobe: Int): DataFrame =
+    queries.select(col(idCol).as("query_id"),
+      explode(probeExpr(col(vecCol).cast("array<double>"), centroids,
+        math.min(nprobe, centroids.length))).as("list_id"))
+
+  /** IVF search from an explicit probe table (`probes` from
+    * [[probeTable]], possibly read back from a committed dump) — the
+    * common tail of [[ivfTopKFromIndex]]. Output:
+    * `(query_id, neighbor_id, cosine, rank)`, rank 1..k per query,
     * deterministic tie-break on neighbor id; self-matches excluded.
     *
-    * LAZY plan. `queries` is referenced twice (probe build and score
-    * re-attach) — persist an expensive upstream. The candidate join
-    * shuffles only `(list_id, id)` on the corpus side; each corpus id
-    * lives in exactly one list, so candidates need no dedup. Vector
-    * re-attach is a plain equi-join with no broadcast hint (AQE
-    * broadcasts the query side at runtime iff it is actually small).
+    * LAZY plan. The candidate join shuffles only `(list_id, id)` on the
+    * corpus side; each corpus id lives in exactly one list, so candidates
+    * need no dedup. Vector re-attach is a plain equi-join with no
+    * broadcast hint (AQE broadcasts the query side at runtime iff it is
+    * actually small).
     */
-  def ivfTopKFromIndex(queries: DataFrame, corpus: DataFrame,
-                       assignments: DataFrame,
-                       centroids: Array[Array[Double]],
-                       idCol: String, vecCol: String,
-                       k: Int = 10, nprobe: Int = 0): DataFrame = {
-    val np = if (nprobe > 0) math.min(nprobe, centroids.length)
-             else math.max(1, centroids.length / 8)
+  def ivfTopKFromProbes(probes: DataFrame, queries: DataFrame,
+                        corpus: DataFrame, assignments: DataFrame,
+                        idCol: String, vecCol: String,
+                        k: Int = 10): DataFrame = {
     val cVecs = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
-    val probes = queries.select(col(idCol).as("query_id"),
-        explode(probeExpr(col(vecCol).cast("array<double>"), centroids, np))
-          .as("list_id"))
     val cand = probes
       .join(assignments.select(col("id").as("neighbor_id"), col("list_id")),
         Seq("list_id"))
@@ -208,6 +228,23 @@ object Ivf {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** IVF search over a PREBUILT index (`assignments` from [[assignLists]],
+    * `centroids` from [[trainCentroids]]) — the index-reuse form that
+    * repeated query batches ride. `queries` is referenced twice (probe
+    * build and score re-attach) — persist an expensive upstream. See
+    * [[ivfTopKFromProbes]] for the plan shape.
+    */
+  def ivfTopKFromIndex(queries: DataFrame, corpus: DataFrame,
+                       assignments: DataFrame,
+                       centroids: Array[Array[Double]],
+                       idCol: String, vecCol: String,
+                       k: Int = 10, nprobe: Int = 0): DataFrame = {
+    val np = if (nprobe > 0) math.min(nprobe, centroids.length)
+             else math.max(1, centroids.length / 8)
+    ivfTopKFromProbes(probeTable(queries, centroids, idCol, vecCol, np),
+      queries, corpus, assignments, idCol, vecCol, k)
   }
 
   /** One-call IVF top-k: trains centroids, assigns lists and searches.

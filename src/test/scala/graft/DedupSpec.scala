@@ -85,6 +85,40 @@ class DedupSpec extends GraftSpec {
     } finally sigsAll.unpersist()
   }
 
+  test("incrementalEmbeddingPairs vs a COMMITTED band store == full-run pairs minus corpus-internal") {
+    // corpus = vectors {0..19} ∪ near-dup copies {100000..100004} of the
+    // first 5 (corpus-internal near-dup pairs the incremental run must
+    // EXCLUDE); new batch = near-dup copies {200000..200009} of vectors
+    // {5..14} (cross pairs it must emit). The corpus band table round-trips
+    // through parquet — the committed-store form — proving bands computed
+    // for the new batch join correctly against bands written earlier.
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 20).map(i => (i.toLong, Array.fill(12)(rnd.nextGaussian())))
+    def nudge(v: Array[Double]) = v.updated(0, v(0) + 0.05)
+    val corpusRows = base ++ base.take(5).map { case (i, v) => (i + 100000, nudge(v)) }
+    val newRows = base.slice(5, 15).map { case (i, v) => (i + 200000, nudge(v)) }
+    val corpus = corpusRows.toDF("id", "v")
+    val fresh = newRows.toDF("id", "v")
+    val (bits, tables) = (4, 8)
+    val store = java.nio.file.Files.createTempDirectory("graft_band_store").toString
+    Dedup.signLshBands(corpus, bits, tables).write.mode("overwrite").parquet(store)
+    val inc = Dedup.incrementalEmbeddingPairs(fresh, corpus,
+        spark.read.parquet(store), threshold = 0.9, bits, tables)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = corpus.unionByName(fresh)
+    val full = Dedup.embeddingPairsFromBands(all,
+        Dedup.signLshBands(all, bits, tables), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val corpusIds = corpusRows.map(_._1).toSet
+    val expected = full.filterNot(p => corpusIds(p._1) && corpusIds(p._2))
+    assert(inc == expected, s"incremental $inc != full-minus-corpus $expected")
+    // corpus-internal near-dup pairs exist and were excluded
+    assert(full.exists(p => corpusIds(p._1) && corpusIds(p._2)))
+    assert(!inc.exists(p => corpusIds(p._1) && corpusIds(p._2)))
+    // and the injected cross pairs were found
+    assert(inc.exists { case (a, b) => b == a + 200000 })
+  }
+
   test("minhash signature agreement estimates true jaccard") {
     val sh = docs.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
     val sig = docs.select(col("doc_id"),

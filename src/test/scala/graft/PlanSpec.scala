@@ -112,4 +112,51 @@ class PlanSpec extends GraftSpec {
       }
     assert(probes.nonEmpty, "probe explode missing from the IVF plan")
   }
+
+  test("committed IVF index: search scans ONLY the probed list_id directories") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val cdirs = Array.fill(8)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val e = (0 until 400).map { i =>
+      val c = cdirs(i % 8)
+      val noise = new scala.util.Random(2000 + i)
+      (i.toLong, c.map(x => x + 0.05f * noise.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_prune").toString
+    val cents = graft.sim.IvfIndex.build(spark, root, e, "vec_id", "embedding", 8)
+    val q = e.where(col("vec_id") === 0L)
+    val res = graft.sim.IvfIndex.searchCommitted(spark, root, q, e,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    // 1) the static partition filter is on the scan
+    val planStr = res.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("list_id"),
+      s"no list_id partition filter on the committed-index scan: $planStr")
+    // 2) physical proof: corrupt every UNPROBED list's parquet files — if
+    // pruning is real the search never opens them and still succeeds; a
+    // full scan would die on the garbage footer
+    val probed = graft.sim.Ivf.probeTable(q, cents, "vec_id", "embedding", 2)
+      .select("list_id").distinct().collect().map(_.getInt(0)).toSet
+    assert(probed.size == 2)
+    val assignDir = java.nio.file.Paths.get(root, "assign")
+    var corrupted = 0
+    java.nio.file.Files.list(assignDir).forEach { d =>
+      val name = d.getFileName.toString
+      if (name.startsWith("list_id=") &&
+          !probed.contains(name.stripPrefix("list_id=").toInt)) {
+        java.nio.file.Files.list(d).forEach { f =>
+          if (f.getFileName.toString.endsWith(".parquet")) {
+            java.nio.file.Files.write(f, "not parquet".getBytes)
+            corrupted += 1
+          }
+        }
+      }
+    }
+    assert(corrupted > 0, "nothing to corrupt — every list was probed")
+    val rows = res.collect()
+    assert(rows.length == 5, "pruned search failed or lost candidates")
+    // control: the corrupted partitions really are unreadable
+    intercept[Exception] {
+      graft.sim.IvfIndex.readAssignments(spark, root).count()
+    }
+  }
 }
