@@ -575,6 +575,81 @@ object SparkEntry {
       Seq((hits.toDouble / 20 >= 0.9, 20L)).toDF("recall_ok", "n_queries")
     }),
 
+    // PQ / IVFADC (compressed-domain ANN — the memory-bounded scale path):
+    // codes, codebooks and the ADC top-rerank cut are WRITTEN; the result
+    // exact-reranks the written candidates and the oracle re-derives the
+    // candidate join, exact cosine and rank from the same dumps. The ADC
+    // cut itself is FP-tie-sensitive BY DESIGN (same-code rows tie
+    // exactly), so the oracle rides the written cut (the q_ann_ivf probes
+    // move); the compressed-domain MATH is externally verified by
+    // q_pq_adc, and retrieval semantics by q_ann_pq_recall + PqSpec's
+    // exact-equivalence laws (rerank ≥ n ≡ brute force; built-from-
+    // codebook vectors encode exactly).
+    "q_ann_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val base = if (oracleDumps) "/tmp/graft_oracle"
+        else java.nio.file.Files.createTempDirectory("graft_bench_pq").toString
+      val cb = graft.sim.Pq.trainCodebooks(e, "vec_id", "embedding", m = 8, ks = 16)
+      graft.sim.Pq.codebooksDF(s, cb)
+        .write.mode("overwrite").parquet(s"$base/pq_codebooks")
+      graft.sim.Pq.encode(e, "vec_id", "embedding", cb)
+        .write.mode("overwrite").parquet(s"$base/pq_codes")
+      val q = e.where(col("vec_id") < 10)
+      graft.sim.Pq.adcCandidates(q, s.read.parquet(s"$base/pq_codes"), cb,
+          "vec_id", "embedding", rerank = 30)
+        .write.mode("overwrite").parquet(s"$base/pq_cand")
+      graft.sim.Pq.exactRerank(s.read.parquet(s"$base/pq_cand"), q, e,
+          "vec_id", "embedding", k = 5)
+        .withColumn("cosine", r(col("cosine"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
+    // The compressed-domain scores themselves, verified externally on a
+    // FIXED candidate set (queries × first-30 corpus codes — no
+    // FP-sensitive cut anywhere): the oracle reconstructs each corpus
+    // vector from its written code + codebooks (flatten of centroid
+    // entries ordered by subspace) and recomputes the identical cosine —
+    // [[PqKernel.approxCos]] accumulates in list_cosine_similarity's
+    // order precisely so this equality is exact.
+    "q_pq_adc" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val base = if (oracleDumps) "/tmp/graft_oracle"
+        else java.nio.file.Files.createTempDirectory("graft_bench_pqadc").toString
+      val cb = graft.sim.Pq.trainCodebooks(e, "vec_id", "embedding", m = 8, ks = 16)
+      graft.sim.Pq.codebooksDF(s, cb)
+        .write.mode("overwrite").parquet(s"$base/pq_adc_codebooks")
+      graft.sim.Pq.encode(e, "vec_id", "embedding", cb).where(col("id") < 30)
+        .write.mode("overwrite").parquet(s"$base/pq_adc_codes")
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      s.read.parquet(s"$base/pq_adc_codes").crossJoin(broadcast(q))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          r(graft.sim.Pq.approxCos(col("qv"), col("code"), cb), 4).as("approx"))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // SELF-VALIDATING PQ retrieval (the q_ann_ivf_recall shape):
+    // perturbed copies of 20 corpus vectors must retrieve their origin in
+    // the ADC-then-exact top-k — catches broken encoding/scoring that the
+    // dump-riding oracles by construction cannot.
+    "q_ann_pq_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val cb = graft.sim.Pq.trainCodebooks(e, "vec_id", "embedding", m = 8, ks = 16)
+      val qs = e.where(col("vec_id") < 20).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => when(i === 0, x + lit(0.05d)).otherwise(x)).as("embedding"))
+      val res = graft.sim.Pq.pqTopKFromCodes(qs,
+        graft.sim.Pq.encode(e, "vec_id", "embedding", cb), e, cb,
+        "vec_id", "embedding", k = 5, rerank = 50)
+      val hits = res.where(col("neighbor_id") === col("query_id") - 100000).count()
+      Seq((hits.toDouble / 20 >= 0.9, 20L)).toDF("recall_ok", "n_queries")
+    }),
+
     // ===== text analysis =====
 
     "q_token_stats" -> ((s, dir) => {
@@ -1307,6 +1382,56 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // PQ exact re-rank re-derived from the written ADC cut (mirrors the
+    // q_ann_ivf oracle): candidate join, exact cosine on RAW vectors,
+    // rank <= 5. The cut is validated by q_pq_adc + q_ann_pq_recall +
+    // PqSpec's equivalence laws.
+    "q_ann_pq" ->
+      """WITH cand AS (
+           SELECT query_id, neighbor_id
+           FROM read_parquet('/tmp/graft_oracle/pq_cand/*.parquet')),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT c.query_id, c.neighbor_id,
+                  list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+           FROM cand c
+           JOIN q ON q.query_id = c.query_id
+           JOIN embeddings e ON e.vec_id = c.neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // compressed-domain scores re-derived by RECONSTRUCTION: decode each
+    // written code back to a vector (its codebook entries concatenated in
+    // subspace order) and recompute cosine(query, reconstruction) — the
+    // external check that PQ's asymmetric-distance math is exactly
+    // cosine-against-the-decoded-vector
+    "q_pq_adc" ->
+      """WITH cb AS (
+           SELECT m, k, centroid
+           FROM read_parquet('/tmp/graft_oracle/pq_adc_codebooks/*.parquet')),
+         codes AS (
+           SELECT id, code
+           FROM read_parquet('/tmp/graft_oracle/pq_adc_codes/*.parquet')),
+         recon AS (
+           SELECT c.id, flatten(list(b.centroid ORDER BY b.m)) AS rv
+           FROM codes c JOIN cb b ON b.k = c.code[b.m + 1]
+           GROUP BY c.id),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10)
+         SELECT q.query_id, r.id AS neighbor_id,
+                round(list_cosine_similarity(q.qv, r.rv), 4) AS approx
+         FROM q CROSS JOIN recon r
+         ORDER BY query_id, neighbor_id""",
+
+    "q_ann_pq_recall" ->
+      "SELECT true AS recall_ok, CAST(20 AS BIGINT) AS n_queries",
 
     "q_ngram_jaccard" ->
       """WITH dups AS (

@@ -296,6 +296,46 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
+  /** INCREMENTAL simhash near-dup detection — completes the incremental
+    * trio ([[incrementalMinhashPairs]], [[incrementalEmbeddingPairs]]):
+    * pairs involving at least one NEW document (new↔new and new↔corpus,
+    * never corpus↔corpus) against a corpus whose `(id, sh)` simhash table
+    * is already committed. The corpus contributes only its 4×16-bit block
+    * projection to the candidate join and its 8-byte hash to the hamming
+    * re-check — corpus text is never re-read or re-hashed. Ids must be
+    * unique across both inputs. Equivalence law (DedupSpec): result ==
+    * simhashPairsFromHashes(new ∪ corpus) minus its corpus↔corpus pairs.
+    */
+  def incrementalSimhashPairs(newSh: DataFrame, corpusSh: DataFrame,
+                              maxDist: Int = 3): DataFrame = {
+    def blocks(sh: DataFrame) = sh.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("block", "bval")))
+    val nb = blocks(newSh)
+    val cb = blocks(corpusSh)
+    val nn = nb.select(col("block"), col("bval"), col("id").as("id1"), col("sh").as("sh1"))
+      .join(nb.select(col("block"), col("bval"), col("id").as("id2"), col("sh").as("sh2")),
+        Seq("block", "bval"))
+      .where(col("id1") < col("id2"))
+    // new↔corpus lands in either order — normalize the pair identity (and
+    // carry both hashes through the swap) to match the full-run convention
+    val nc = nb.select(col("block"), col("bval"), col("id").as("ida"), col("sh").as("sha"))
+      .join(cb.select(col("block"), col("bval"), col("id").as("idb"), col("sh").as("shb")),
+        Seq("block", "bval"))
+      .where(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"),
+        when(col("ida") < col("idb"), col("sha")).otherwise(col("shb")).as("sh1"),
+        when(col("ida") < col("idb"), col("shb")).otherwise(col("sha")).as("sh2"))
+    nn.select("id1", "id2", "sh1", "sh2")
+      .unionByName(nc.select("id1", "id2", "sh1", "sh2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", hamming64(col("sh1"), col("sh2")))
+      .where(col("hamming") <= maxDist)
+      .select("id1", "id2", "hamming")
+  }
+
   // ------------------------------------------------------------- embeddings
 
   /** Cosine similarity of two float-array columns (zip_with dot product —

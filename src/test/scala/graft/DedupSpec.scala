@@ -85,6 +85,38 @@ class DedupSpec extends GraftSpec {
     } finally sigsAll.unpersist()
   }
 
+  test("incrementalSimhashPairs == full-run pairs minus corpus-internal pairs") {
+    // corpus = docs {1, 4} (an exact-dup pair — hamming 0 — that the
+    // incremental run must EXCLUDE); new batch = doc 3 (unrelated), doc 5
+    // (exact copy of doc 1 → guaranteed hamming-0 cross pairs) and doc 2
+    // (word-drop near-dup — may legitimately exceed hamming 3, the
+    // documented simhash miss mode; the equivalence law covers it either
+    // way). The committed-store leg round-trips corpus simhashes through
+    // parquet.
+    val all = docs.unionByName(Seq(
+      (5L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text"))
+    val shAll = Dedup.simhashes(all, "doc_id", "text").persist()
+    try {
+      val store = java.nio.file.Files.createTempDirectory("graft_sh_store").toString
+      shAll.where(col("id").isin(1L, 4L)).write.mode("overwrite").parquet(store)
+      val fresh = shAll.where(col("id").isin(2L, 3L, 5L))
+      val inc = Dedup.incrementalSimhashPairs(fresh, spark.read.parquet(store))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val full = Dedup.simhashPairsFromHashes(shAll)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val corpusIds = Set(1L, 4L)
+      val expected = full.filterNot(p => corpusIds(p._1) && corpusIds(p._2))
+      assert(inc == expected, s"incremental $inc != full-minus-corpus $expected")
+      // the corpus-internal exact-dup pair was found by the full run and
+      // excluded by the incremental one
+      assert(full.exists(p => p._1 == 1L && p._2 == 4L))
+      assert(!inc.exists(p => p._1 == 1L && p._2 == 4L))
+      // and the new exact copy pairs with BOTH corpus originals at hamming 0
+      assert(inc.contains((1L, 5L, 0)) && inc.contains((4L, 5L, 0)))
+    } finally shAll.unpersist()
+  }
+
   test("incrementalEmbeddingPairs vs a COMMITTED band store == full-run pairs minus corpus-internal") {
     // corpus = vectors {0..19} ∪ near-dup copies {100000..100004} of the
     // first 5 (corpus-internal near-dup pairs the incremental run must
