@@ -22,8 +22,9 @@ object Bench {
     "q_dedup_exact", "q_minhash_pairs", "q_simhash_pairs", "q_ann_bruteforce",
     // q_ann_ivf times the FULL committed-index lifecycle (train + assign +
     // commit + partition-pruned search) over a throwaway root — the index
-    // build is intrinsic to the operator, so it belongs in the timing
-    "q_ann_ivf",
+    // build is intrinsic to the operator, so it belongs in the timing;
+    // q_ann_pq likewise times codebook training + encode + ADC + re-rank
+    "q_ann_ivf", "q_ann_pq",
     "q_token_stats", "q_langid", "q_time_window_agg", "q_news_pipeline",
     "q_drift_stats")
 

@@ -144,8 +144,9 @@ object Pq {
       ColumnBridge.expression(qv), ColumnBridge.expression(code), cb))
 
   /** ADC top-k over a PRECOMPUTED code table: every corpus code is scored
-    * against every query in the compressed domain (broadcast query side —
-    * the codes never shuffle, mirroring [[Ann.bruteForceTopK]]), the top
+    * against every query in the compressed domain (per-query lookup
+    * tables riding in the scan expression — the codes never shuffle and
+    * no pair rows materialize, see [[adcCandidates]]), the top
     * `rerank` per query re-attach raw vectors for exact cosine, and the
     * final rank is exact. With `rerank` ≥ corpus size the result equals
     * [[Ann.bruteForceTopK]] EXACTLY (tested) — `rerank` is the
@@ -172,41 +173,89 @@ object Pq {
     * have IDENTICAL approx scores, see the rerank sizing note above).
     * Exposed so the correctness gate can write this FP-sensitive cut and
     * let its oracle ride the written copy (the [[Ivf.probeTable]] move).
+    *
+    * Implementation is the textbook ADC lookup-table scan ([[PqAdcScores]]):
+    * the query batch is collected ONCE (bounded — the same constraint a
+    * `broadcast(queries)` join imposes; query ids must be LongType;
+    * degenerate query vectors are dropped and score nothing), per-query
+    * LUTs ship in the expression node, and the corpus pass explodes an
+    * `m`-lookup score array per code — no (query × code) pair rows are
+    * ever materialized (the cross-join form measured ~8× slower from
+    * copying the query vector into every pair). LUT scores differ from
+    * [[PqKernel.approxCos]] only in FP summation grouping (≤ 1e-15
+    * relative, spec-asserted) — never load-bearing: the written cut is
+    * what the gate validates, and the final cosine is exact.
     */
   def adcCandidates(queries: DataFrame, codes: DataFrame,
                     cb: Array[Array[Array[Double]]],
                     idCol: String, vecCol: String,
                     rerank: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
-    val scored = codes.crossJoin(broadcast(q))
-      .where(col("query_id") =!= col("id"))
-      .withColumn("approx", approxCosCol(col("qv"), col("code"), cb))
-      .where(col("approx").isNotNull)
-    saltedTopRerank(scored, rerank)
+    val m = cb.length
+    require(m > 0, "adcCandidates: empty codebooks")
+    val dsub = cb(0)(0).length
+    val dim = m * dsub
+    val qRows = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv")).collect()
+      .flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) None
+        else {
+          val s = r.getSeq[Any](1)
+          if (s.length != dim || s.exists(_ == null)) None
+          else Some(r.getLong(0) -> s.map(_.asInstanceOf[Double]).toArray)
+        }
+      }
+    require(qRows.nonEmpty, "adcCandidates: no valid query vectors")
+    val qids = qRows.map(_._1)
+    val luts = qRows.map { case (_, qv) =>
+      Array.tabulate(m) { j =>
+        cb(j).map { c =>
+          var d = 0.0; var t = 0
+          while (t < dsub) { d += qv(j * dsub + t) * c(t); t += 1 }
+          d
+        }
+      }
+    }
+    val qnorms = qRows.map { case (_, qv) =>
+      var d = 0.0; var t = 0
+      while (t < qv.length) { d += qv(t) * qv(t); t += 1 }
+      math.sqrt(d)
+    }
+    val cnorms2 = cb.map(_.map { c =>
+      var d = 0.0; var t = 0
+      while (t < c.length) { d += c(t) * c(t); t += 1 }
+      d
+    })
+    val scoresCol = ColumnBridge.column(PqAdcScores(
+      ColumnBridge.expression(col("code")), luts, qnorms, cnorms2))
+    // ONE row per code through the batched global aggregate: all |Q|
+    // heaps update from the score array in place — no per-pair rows, no
+    // explode, no sort; the shuffle carries (#partitions × |Q| × rerank)
+    // heap entries and the single output row explodes into the cut.
+    // Self-matches are excluded inside the aggregate so the cut equals
+    // the pre-filtered window form exactly (PqSpec cross-check).
+    codes
+      .select(col("id").cast("long").as("id"), scoresCol.as("scores"))
+      .where(col("scores").isNotNull)
+      .agg(graft.stats.TopK.adcTopK(col("id"), col("scores"), qids, rerank).as("top"))
+      .select(explode(col("top")).as("p"))
+      .select(element_at(typedLit(qids.toSeq), col("p.qidx") + 1).as("query_id"),
+        col("p.id").as("neighbor_id"))
   }
 
-  /** EXACT two-phase top-`rerank` per query (the suite's salted violation-
-    * sampling move): a single `Window.partitionBy(query_id)` would send
-    * every scored corpus row for a query to ONE reducer — at 10^9 codes
-    * that is a per-query single-task scan. Phase 1 takes the top `rerank`
-    * within each of 32 salt buckets (parallel); phase 2 ranks the
-    * ≤ 32·rerank survivors. Exact because the global top-rerank is a
-    * subset of the union of per-salt top-reranks; both phases share the
-    * (approx desc, id asc) order, so results are identical to the
-    * one-window form.
+  /** EXACT top-`rerank` per query via the bounded map-side aggregate
+    * ([[graft.stats.TopKPairsAgg]]): a window cut would SORT the full
+    * scored set (measured ~19 s of a 51M-row ADC scan) and funnel each
+    * query through one reducer; the aggregate's partial phase caps every
+    * map task's contribution at `rerank` pairs, so the shuffle is
+    * mapTasks × rerank per query and nothing is ever globally sorted.
+    * Result identical to `row_number() OVER (ORDER BY approx DESC, id
+    * ASC) <= rerank` (cross-implementation spec in PqSpec).
     */
-  private def saltedTopRerank(scored: DataFrame, rerank: Int): DataFrame = {
-    val salt = pmod(xxhash64(col("id")), lit(32))
-    val w1 = Window.partitionBy(col("query_id"), salt)
-      .orderBy(col("approx").desc, col("id").asc)
-    val wa = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx").desc, col("id").asc)
-    scored.withColumn("r1", row_number().over(w1)).where(col("r1") <= rerank)
-      .withColumn("arank", row_number().over(wa))
-      .where(col("arank") <= rerank)
-      .select(col("query_id"), col("id").as("neighbor_id"))
-  }
+  private def aggTopRerank(scored: DataFrame, rerank: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.stats.TopK.topKPairs(col("approx"), col("id"), rerank).as("top"))
+      .select(col("query_id"),
+        explode(col("top").getField("id")).as("neighbor_id"))
 
   /** The compressed-domain score itself, as a column over a joined
     * `(qv, code)` pair — exposed for the gate's ADC-score verification
@@ -244,7 +293,7 @@ object Pq {
         col(vecCol).cast("array<double>").as("qv")), Seq("query_id"))
       .withColumn("approx", approxCosCol(col("qv"), col("code"), cb))
       .where(col("approx").isNotNull)
-    exactRerank(saltedTopRerank(scored, rerank),
+    exactRerank(aggTopRerank(scored, rerank),
       queries, corpus, idCol, vecCol, k)
   }
 

