@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 
@@ -15,6 +14,27 @@ import graft.dedup.Dedup
   */
 object Ann {
 
+  /** The ANN family's shared final cut: exact per-query top-k on
+    * (cosine desc, neighbor_id asc) via the bounded map-side aggregate
+    * ([[graft.stats.TopKPairsAgg]]). A `row_number()` window here SORTS
+    * every scored row and funnels each query through one reducer — at a
+    * brute-force 10^9-codes × |Q| scored set that single-reducer sort is
+    * the whole job; the aggregate's partial phase caps each map task's
+    * shuffle contribution at k pairs per query instead. Output
+    * `(query_id, neighbor_id, cosine, rank)`, rank 1..k, identical to the
+    * window cut (AnnSpec parity incl. cosine ties) with one deliberate
+    * exception: NULL-cosine rows (degenerate vectors) never fill rank
+    * slots — a null score is not a neighbor. Ids must be integral (cast
+    * to long; every ANN surface carries long ids).
+    */
+  private[sim] def rankCut(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.stats.TopK.topKPairs(
+        col("cosine"), col("neighbor_id").cast("long"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        col("p.score").as("cosine"), (col("pos") + 1).as("rank"))
+
   /** Exact brute-force cosine top-k neighbors for each query vector.
     * Output: (query_id, neighbor_id, cosine, rank), rank 1..k,
     * deterministic tie-break on neighbor id.
@@ -26,10 +46,7 @@ object Ann {
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankCut(scored, k)
   }
 
   /** LSH-bucketed ANN: corpus is bucketed once per hash TABLE by sign-LSH
@@ -111,9 +128,6 @@ object Ann {
       .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
         Seq("query_id"))
       .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankCut(scored, k)
   }
 }

@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import graft.dedup.Dedup
@@ -224,10 +223,7 @@ object Ivf {
       .join(queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv")), Seq("query_id"))
       .withColumn("cosine", Dedup.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    Ann.rankCut(scored, k)
   }
 
   /** IVF search over a PREBUILT index (`assignments` from [[assignLists]],

@@ -92,4 +92,48 @@ class AnnSpec extends GraftSpec {
     val one = pairs(1); val four = pairs(4)
     assert(four.size >= one.size, s"tables=4 found ${four.size} < tables=1 ${one.size}")
   }
+
+  test("rankCut parity: aggregate cut == row_number window cut, incl. cosine ties") {
+    import org.apache.spark.sql.expressions.Window
+    // 40 base vectors plus EXACT duplicates of 10 of them: duplicate
+    // corpus vectors give identical cosines against every query, so the
+    // (cosine desc, neighbor_id asc) id tie-break is load-bearing
+    val base = clustered(40, 8, 4)
+    val dups = base.where(col("vec_id") < 10)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val e = base.union(dups)
+    val q = e.where(col("vec_id") < 6)
+    val agg = Ann.bruteForceTopK(q, e, "vec_id", "embedding", k = 7)
+    // independent window-cut reference over the same scored set
+    val qv = q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val win = cv.crossJoin(qv)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", graft.dedup.Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 7)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+    val a = agg.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val b = win.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(a == b, s"agg-vs-window cut diverged: only-agg=${a -- b} only-window=${b -- a}")
+    assert(a.nonEmpty)
+  }
+
+  test("rankCut: NULL-cosine rows (null embeddings) never fill rank slots") {
+    // 4-row corpus with k=5: a row_number window (desc = nulls last) would
+    // let the NULL-cosine row trail in as rank 4; the cut drops it — a
+    // null score is not a neighbor. Zero vectors score 0.0 (the pinned
+    // Dedup.cosine convention) and legitimately rank last.
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)),
+      (3L, Array(0f, 0f, 0f, 0f)),
+      (4L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val out = Ann.bruteForceTopK(e.where(col("vec_id") === 0), e,
+      "vec_id", "embedding", k = 5).collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 2L, 3L))
+    assert(out.forall(r => !r.isNullAt(r.fieldIndex("cosine"))))
+  }
 }
