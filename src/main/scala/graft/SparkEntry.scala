@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.dedup.Dedup
+import graft.dedup.{Components, Dedup}
 import graft.drift.{Drift, KsTest}
 import graft.sim.{Ann, Ivf}
 import graft.stats.{Sketches, Stats}
@@ -394,6 +394,24 @@ object SparkEntry {
       val out = try Dedup.minhashLshPairsFromSigs(sigs, threshold = 0.5)
         finally sigs.unpersist(blocking = false)
       out.orderBy("id1", "id2")
+    }),
+
+    // near-dup GROUPS: transitive closure of the minhash-LSH pair graph via
+    // distributed large-star/small-star connected components — every paired
+    // doc labeled with its cluster's min id. DuckDB-oracled from the written
+    // pair table (itself gate-covered by q_minhash_pairs on the same corpus
+    // and threshold) with a recursive-CTE transitive closure.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(nearDupCorpus(s, dir), "doc_id", "text", 64, 3)
+        .persist()
+      val pairs = try Dedup.minhashLshPairsFromSigs(sigs, threshold = 0.5)
+        finally sigs.unpersist(blocking = false)
+      if (oracleDumps)
+        pairs.select("id1", "id2").write.mode("overwrite")
+          .parquet("/tmp/graft_oracle/cluster_pairs")
+      val out = try Components.connectedComponents(pairs)
+        finally pairs.unpersist(blocking = false)
+      out.orderBy("id")
     }),
 
     // SimHash near-dup pairs, DuckDB-oracled from the written simhash
@@ -1677,6 +1695,23 @@ object SparkEntry {
            JOIN sigs s2 ON s2.id = c.id2)
          SELECT id1, id2, est_jaccard FROM scored
          WHERE est_jaccard >= 0.5 ORDER BY id1, id2""",
+
+    // transitive closure of the written pair graph: recursive-CTE
+    // reachability, rep = min(id, min reachable id)
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT id1, id2 FROM read_parquet('/tmp/graft_oracle/cluster_pairs/*.parquet')),
+         edges AS (
+           SELECT id1 AS u, id2 AS v FROM pairs
+           UNION
+           SELECT id2 AS u, id1 AS v FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+           WHERE e.v <> r.u)
+         SELECT u AS id, least(u, min(v)) AS rep
+         FROM reach GROUP BY u ORDER BY id""",
 
     "q_simhash_pairs" ->
       """WITH shs AS (

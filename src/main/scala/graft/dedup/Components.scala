@@ -1,0 +1,154 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected pair graph — the
+  * missing step between near-duplicate PAIRS (minhash / simhash / embedding
+  * LSH, Dedup.scala) and near-duplicate GROUPS: transitive closure assigns
+  * every document the minimum id of its duplicate cluster, so "keep one per
+  * cluster" becomes a filter instead of a driver-side union-find.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014) — converges in
+  * O(log² n) rounds on any graph (O(log n) in practice), each round two
+  * node-id-keyed shuffles of (long, long) edges only. No adjacency list is
+  * ever materialized per node beyond the groupBy, so hub nodes (a viral
+  * boilerplate file shared by millions of repos) are handled by the same
+  * map-side-combined min aggregate as everything else.
+  *
+  * Scale notes (the 100 TB story):
+  *   - Payload never enters the graph: callers pass (id1, id2) pairs from
+  *     the LSH pipelines; each round shuffles two longs per edge.
+  *   - Every round's result is checkpointed (reliable checkpoint dir when
+  *     `spark.sparkContext.setCheckpointDir` was called, local checkpoint
+  *     otherwise) — lineage stays O(1) across iterations instead of
+  *     growing a plan Catalyst must re-analyze each round.
+  *   - Convergence is detected from a (count, xxhash64-sum) signature of
+  *     the canonical edge set — two scalar aggregates per round, no
+  *     edge-set `except` join.
+  *
+  * Reference semantics preserved: the survivor of each cluster is the
+  * MINIMUM id — the distributed analog of the reference's first-wins
+  * keep-the-first-seen rule (news.py:74-82).
+  */
+object Components {
+
+  /** Connected components of the undirected graph given as (idCol1, idCol2)
+    * pairs. Returns one row per node appearing in `pairs`:
+    * (id, rep) where rep is the minimum id reachable from `id` (rep == id
+    * for the cluster's canonical representative). Null ids and self-loops
+    * are dropped; duplicate and reversed duplicate edges are tolerated.
+    *
+    * Ids must be long-typed (LSH pair outputs already are); `maxIter`
+    * bounds the alternating rounds — 2·log₂(n) + a constant is the proven
+    * bound, so 50 covers any graph that fits on a cluster.
+    */
+  def connectedComponents(pairs: DataFrame, idCol1: String = "id1",
+                          idCol2: String = "id2", maxIter: Int = 50): DataFrame = {
+    val canonical = pairs
+      .select(greatest(col(idCol1), col(idCol2)).cast("long").as("u"),
+              least(col(idCol1), col(idCol2)).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+
+    // The first checkpoint reads the input exactly once; everything the
+    // returned DataFrame references (node set included) is checkpointed, so
+    // callers may unpersist/discard `pairs` immediately.
+    val base = materialize(canonical)
+    var cur = base
+    var sig = signature(cur)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = materialize(smallStar(largeStar(cur)))
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      cur = next
+      sig = nextSig
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+
+    // At the fixed point the edge set is a star forest: every edge is
+    // (member, cluster-min) and roots have no outgoing edge.
+    val nodes = base.select(col("u").as("id"))
+      .unionAll(base.select(col("v").as("id"))).distinct()
+    nodes.join(cur.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("rep"))
+  }
+
+  /** Attach the cluster representative to a corpus: rows never seen in a
+    * pair keep themselves as rep. One broadcast-or-shuffle join on the id —
+    * the components table has one row per PAIRED doc, which after LSH is a
+    * small fraction of the corpus.
+    */
+  def withComponents(df: DataFrame, idCol: String, pairs: DataFrame,
+                     idCol1: String = "id1", idCol2: String = "id2",
+                     repCol: String = "rep"): DataFrame = {
+    val cc = connectedComponents(pairs, idCol1, idCol2)
+      .withColumnRenamed("id", idCol).withColumnRenamed("rep", repCol)
+    df.join(cc, Seq(idCol), "left")
+      .withColumn(repCol, coalesce(col(repCol), col(idCol).cast("long")))
+  }
+
+  /** Near-duplicate group dedup: keep exactly one row per connected
+    * component of the pair graph — the minimum-id row (first-wins) — plus
+    * every row that was in no pair.
+    */
+  def dedupByComponents(df: DataFrame, idCol: String, pairs: DataFrame,
+                        idCol1: String = "id1", idCol2: String = "id2"): DataFrame =
+    withComponents(df, idCol, pairs, idCol1, idCol2, "__rep")
+      .where(col("__rep") === col(idCol).cast("long"))
+      .drop("__rep")
+
+  /** One round of large-star: every node u connects its LARGER neighbors to
+    * the minimum of its neighborhood (including itself). High-degree hubs
+    * shrink here — that is the point of the algorithm.
+    */
+  private[dedup] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u")
+      .agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
+      .where(col("v") > col("u"))
+      // v > u >= m, so (v, m) is already canonical big-to-small
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One round of small-star: every node u connects its SMALLER-or-equal
+    * neighbors (and itself) to the minimum of that set. Input and output
+    * are canonical (u > v) edge sets.
+    */
+  private[dedup] def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min("v").as("m"))
+    e.join(mins, "u")
+      .select(col("v").as("n"), col("m"))
+      .unionAll(mins.select(col("u").as("n"), col("m")))
+      .where(col("n") =!= col("m"))
+      .select(greatest(col("n"), col("m")).as("u"), least(col("n"), col("m")).as("v"))
+      .distinct()
+  }
+
+  /** Truncate lineage and materialize one round's edge set. */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  /** Order-independent convergence signature of a canonical edge set
+    * (bit_xor folds 64-bit edge hashes without ANSI sum overflow; the edge
+    * set is distinct, so xor-cancellation of repeats cannot occur).
+    */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val row = e.select(xxhash64(col("u"), col("v")).as("h"))
+      .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)))
+      .collect()(0)
+    (row.getLong(0), row.getLong(1))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.dedup.Components
+import org.apache.spark.sql.functions._
+
+/** Connected components vs a driver-side union-find reference, plus the
+  * structural edge cases (chains — the worst diameter a hash-min style
+  * label propagation would choke on; hubs; duplicate/reversed/self edges)
+  * and the dedup-by-cluster composition.
+  */
+class ComponentsSpec extends GraftSpec {
+  import spark.implicits._
+
+  /** Reference union-find (path compression, driver-side). */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // normalize: rep = min of component, which union-by-min guarantees
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("matches union-find on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(600)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+    assert(run(edges) == unionFind(edges))
+  }
+
+  test("sparse random graph with many small components matches union-find") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(150)((rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .filter { case (a, b) => a != b }
+    assert(run(edges) == unionFind(edges))
+  }
+
+  test("long chain collapses to the minimum id (log-round convergence)") {
+    val edges = (0L until 300L).map(i => (i, i + 1))
+    val got = run(edges)
+    assert(got.size == 301 && got.values.forall(_ == 0L))
+  }
+
+  test("hub star plus separate component; duplicates/reversed/self-loops tolerated") {
+    val hub = (1L to 50L).map(i => (100L, 100L + i))      // hub 100
+    val other = Seq((5L, 6L), (6L, 5L), (6L, 7L))          // component min 5
+    val noise = Seq((3L, 3L), (100L, 101L))                // self-loop + dup
+    val got = run(hub ++ other ++ noise)
+    assert((1L to 50L).forall(i => got(100L + i) == 100L) && got(100L) == 100L)
+    assert(Seq(5L, 6L, 7L).forall(i => got(i) == 5L))
+    assert(!got.contains(3L)) // self-loop only => not part of the pair graph
+  }
+
+  test("partitioning-invariant: repartition(13) equals coalesce(1)") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(200)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("id1", "id2")
+    def get(d: org.apache.spark.sql.DataFrame) =
+      Components.connectedComponents(d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(get(df.coalesce(1)) == get(df.repartition(13)))
+  }
+
+  test("dedupByComponents keeps the min-id row per cluster and all unpaired rows") {
+    val corpus = (0L until 20L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 4L), (4L, 9L), (12L, 13L)).toDF("id1", "id2")
+    val kept = Components.dedupByComponents(corpus, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropped = Set(4L, 9L, 13L)
+    assert(kept == (0L until 20L).toSet -- dropped)
+  }
+
+  test("withComponents labels unpaired rows with themselves") {
+    val corpus = Seq(1L, 2L, 3L).toDF("id")
+    val pairs = Seq((1L, 3L)).toDF("id1", "id2")
+    val got = Components.withComponents(corpus, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("empty pair set yields an empty components table") {
+    val pairs = spark.emptyDataset[(Long, Long)].toDF("id1", "id2")
+    assert(Components.connectedComponents(pairs).count() == 0L)
+  }
+}
