@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.dedup.{Components, Dedup}
+import graft.dedup.{Components, Dedup, Semantic}
 import graft.drift.{Drift, KsTest}
+import graft.sample.Sampling
 import graft.sim.{Ann, Ivf}
 import graft.stats.{Sketches, Stats}
 import graft.text.TextAnalysis
@@ -475,6 +476,47 @@ object SparkEntry {
       val out = try Dedup.embeddingPairsFromBands(vecs, bands, 0.9)
         finally { bands.unpersist(blocking = false); vecs.unpersist(blocking = false) }
       out.withColumn("cosine", r(col("cosine"), 4)).orderBy("id1", "id2")
+    }),
+
+    // training-mixture quota sampling: per-lang hash-smallest cut via the
+    // range-bucketed two-phase form (buckets=8 forces real boundary-bucket
+    // ranking on this corpus). DuckDB-oracled from the written
+    // (doc_id, lang, h) key table: the oracle re-ranks per lang over the
+    // same Spark-computed hashes and applies the same quotas; 'fr' has no
+    // quota and must vanish entirely
+    "q_quota_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      if (oracleDumps)
+        docs.select(col("doc_id"), col("lang"), xxhash64(col("doc_id")).as("h"))
+          .write.mode("overwrite").parquet("/tmp/graft_oracle/quota_keys")
+      val quotas = Map("en" -> 100L, "zh" -> 40L, "es" -> 40L, "de" -> 25L)
+      Sampling.quotaByHash(docs, "lang", quotas, Seq("doc_id"), buckets = 8)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    // semantic dedup (SemDeDup): k-means-cluster the embedding space, find
+    // within-cluster cosine pairs, connected-components them, label every
+    // vector with its component's min id. DuckDB-oracled from the written
+    // (id, v, list_id) table: the oracle re-derives the within-cluster
+    // self-join, exact cosine, threshold, recursive-CTE closure and the
+    // survivor labels
+    "q_semantic_dedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val dups = e.where(col("vec_id") < 20).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => when(i === 0, x + 0.05d).otherwise(x)).as("embedding"))
+      val vecs = e.unionByName(dups)
+      val cents = Ivf.trainCentroids(vecs, "vec_id", "embedding", nlist = 8)
+      val clustered = Semantic.withClusters(vecs, "vec_id", "embedding", cents)
+        .persist()
+      if (oracleDumps)
+        clustered.write.mode("overwrite").parquet("/tmp/graft_oracle/sem_clustered")
+      val out = try Semantic.semanticGroupsFromClusters(clustered, tau = 0.9)
+        .localCheckpoint()
+        finally clustered.unpersist(blocking = false)
+      out.orderBy("id")
     }),
 
     // SELF-VALIDATING recall rows for the three LSH pair pipelines: the 50
@@ -1743,6 +1785,43 @@ object SparkEntry {
            JOIN vecs v2 ON v2.id = c.id2)
          SELECT id1, id2, round(cosine, 4) AS cosine FROM scored
          WHERE cosine >= 0.9 ORDER BY id1, id2""",
+
+    // quota sampling re-ranked from the written Spark-computed hash keys
+    "q_quota_sample" ->
+      """WITH k AS (
+           SELECT doc_id, lang, h FROM read_parquet('/tmp/graft_oracle/quota_keys/*.parquet')),
+         q(lang, quota) AS (
+           VALUES ('en', 100), ('zh', 40), ('es', 40), ('de', 25)),
+         r AS (
+           SELECT k.doc_id, k.lang,
+                  row_number() OVER (PARTITION BY k.lang ORDER BY k.h, k.doc_id) AS rn,
+                  q.quota
+           FROM k JOIN q USING (lang))
+         SELECT doc_id, lang FROM r WHERE rn <= quota ORDER BY doc_id""",
+
+    // semantic dedup recomputed from the written (id, v, list_id) table:
+    // within-cluster pairs at cosine >= 0.9, transitive closure, min-id labels
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE a AS (
+           SELECT id, v, list_id FROM read_parquet('/tmp/graft_oracle/sem_clustered/*.parquet')),
+         pairs AS (
+           SELECT l.id AS id1, r.id AS id2
+           FROM a l JOIN a r ON l.list_id = r.list_id AND l.id < r.id
+           WHERE l.list_id IS NOT NULL
+             AND list_cosine_similarity(l.v::DOUBLE[], r.v::DOUBLE[]) >= 0.9),
+         edges AS (
+           SELECT id1 AS u, id2 AS v FROM pairs
+           UNION
+           SELECT id2 AS u, id1 AS v FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+           WHERE e.v <> r.u),
+         rep AS (
+           SELECT u AS id, least(u, min(v)) AS rep FROM reach GROUP BY u)
+         SELECT a.id, a.list_id, coalesce(rep.rep, a.id) AS rep
+         FROM a LEFT JOIN rep USING (id) ORDER BY id""",
 
     // the suite's drift verdict rows recomputed by DuckDB from the exact
     // written input: exact two-sample KS over distinct content lengths +
