@@ -348,6 +348,18 @@ object SparkEntry {
         .select("doc_id", "lang", "source").orderBy("doc_id")
     }),
 
+    // J4 at scale: the bloom-accelerated seen-set anti-join — rows missing
+    // the committed filter skip the join; hits (true dups + fpp sliver)
+    // are exactly re-checked. Result is EXACT, so the oracle is the plain
+    // SQL anti-join — the bloom is invisible to semantics by construction
+    "q_bloom_newonly" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val seen = d.where(col("doc_id") < 250)
+      val incoming = d.where(col("doc_id") >= 200)
+      Dedup.newOnlyBloom(incoming, seen, Seq("doc_id"), fpp = 0.01)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // U1/U2: union + dedup
     "q_union_dedup" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -1220,6 +1232,13 @@ object SparkEntry {
          WHERE doc_id >= 250 AND NOT EXISTS (
            SELECT 1 FROM documents s
            WHERE s.doc_id < 250 AND s.lang = d.lang AND s.source = d.source)
+         ORDER BY doc_id""",
+
+    "q_bloom_newonly" ->
+      """SELECT doc_id, lang FROM documents d
+         WHERE doc_id >= 200 AND NOT EXISTS (
+           SELECT 1 FROM documents s
+           WHERE s.doc_id < 250 AND s.doc_id = d.doc_id)
          ORDER BY doc_id""",
 
     "q_union_dedup" ->

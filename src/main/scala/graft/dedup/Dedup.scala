@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.stats.{Bloom, BloomKernel}
 import graft.text.TextAnalysis
 
 /** Deduplication operators for training-data pipelines, scale-first:
@@ -41,6 +42,42 @@ object Dedup {
     */
   def newOnly(incoming: DataFrame, seen: DataFrame, keys: Seq[String]): DataFrame =
     incoming.join(seen.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Committed membership sketch for the seen-set: a Bloom filter over
+    * xxhash64(keys). Built once per corpus (or folded incrementally —
+    * [[graft.stats.BloomKernel.union]] is bloom(A ∪ B)) and stored as an
+    * audit artifact, so per-batch dedup stops re-joining the full corpus.
+    */
+  def buildSeenBloom(seen: DataFrame, keys: Seq[String],
+                     expectedItems: Long = -1L, fpp: Double = 0.01): Array[Byte] = {
+    val n = if (expectedItems > 0) expectedItems else math.max(1L, seen.count())
+    val (m, k) = BloomKernel.sizing(n, fpp)
+    seen.select(Bloom.bloomAgg(xxhash64(keys.map(col): _*), m, k).as("b"))
+      .collect()(0).getAs[Array[Byte]](0)
+  }
+
+  /** Bloom-accelerated [[newOnly]] against a committed filter blob — EXACT
+    * (law-tested == newOnly): rows missing the filter are definitely new
+    * and skip the join entirely; only the hits (true duplicates + an
+    * fpp-sized sliver) go through the exact anti-join. In the append-heavy
+    * steady state the exact-join's left side shrinks from |incoming| to
+    * |duplicates| + fpp·|incoming|, which is what makes a 10^12-row seen
+    * corpus survivable per batch. The codegen'd probe
+    * ([[graft.stats.BloomMightContain]], blob in the node) keeps the
+    * filter scan inside the whole-stage span.
+    */
+  def newOnlyWithBloom(incoming: DataFrame, seen: DataFrame, keys: Seq[String],
+                       blob: Array[Byte]): DataFrame = {
+    val hit = Bloom.mightContain(blob)(xxhash64(keys.map(col): _*))
+    incoming.where(!hit)
+      .unionByName(incoming.where(hit)
+        .join(seen.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+  }
+
+  /** One-call form: build the filter from `seen`, then filter-and-check. */
+  def newOnlyBloom(incoming: DataFrame, seen: DataFrame, keys: Seq[String],
+                   fpp: Double = 0.01): DataFrame =
+    newOnlyWithBloom(incoming, seen, keys, buildSeenBloom(seen, keys, fpp = fpp))
 
   // ---------------------------------------------------------------- shingles
 
