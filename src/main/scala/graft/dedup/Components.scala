@@ -46,6 +46,24 @@ object Components {
     */
   def connectedComponents(pairs: DataFrame, idCol1: String = "id1",
                           idCol2: String = "id2", maxIter: Int = 50): DataFrame = {
+    // Constraint propagation is disabled for the solve (and restored after):
+    // Spark's own tuning guidance for iterative algorithms, and a
+    // correctness requirement here — a localCheckpoint over NULLABLE input
+    // (any parquet-derived pair set) captures isnotnull constraints on the
+    // LogicalRDD, and Spark 4.1's UnionBase.rewriteConstraints throws
+    // "key not found" optimizing the self-union inside largeStar when a
+    // deduplicated child still carries them. All solver filters are
+    // explicit, so no plan quality is lost.
+    val sess = pairs.sparkSession
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = sess.conf.get(cpKey, "true")
+    sess.conf.set(cpKey, "false")
+    try connectedComponentsImpl(pairs, idCol1, idCol2, maxIter)
+    finally sess.conf.set(cpKey, cpPrev)
+  }
+
+  private def connectedComponentsImpl(pairs: DataFrame, idCol1: String,
+                                      idCol2: String, maxIter: Int): DataFrame = {
     val canonical = pairs
       .select(greatest(col(idCol1), col(idCol2)).cast("long").as("u"),
               least(col(idCol1), col(idCol2)).cast("long").as("v"))
@@ -103,6 +121,55 @@ object Components {
     withComponents(df, idCol, pairs, idCol1, idCol2, "__rep")
       .where(col("__rep") === col(idCol).cast("long"))
       .drop("__rep")
+
+  /** Incremental connected components against a committed cluster store —
+    * the per-batch form of [[connectedComponents]], completing the
+    * incremental story for the clustering step the same way
+    * incrementalMinhashPairs does for pair generation: per-batch cost is
+    * sized by the NEW batch plus the clusters it touches, never by the
+    * corpus.
+    *
+    * `store` is a committed (id, rep) star forest (the output of a previous
+    * full or incremental run); `newPairs` may link new nodes to each other,
+    * to old nodes, and transitively merge existing clusters. Only the
+    * TOUCHED clusters are re-solved:
+    *
+    *   1. touched reps = store ⋈ nodes(newPairs) — an id-keyed semi-join;
+    *   2. affected members = store ⋈ touched reps — a rep-keyed join (a
+    *      store bucketed/partitioned by rep makes this a pruned read);
+    *   3. re-run star contraction over newPairs ∪ the affected (id, rep)
+    *      edges (the star forest preserves connectivity exactly);
+    *   4. untouched store rows pass through via a rep anti-join.
+    *
+    * Equivalence law (spec-enforced): for any edge sets A, B,
+    * `incrementalComponents(connectedComponents(A), B)` ==
+    * `connectedComponents(A ∪ B)` — including cluster merges, where every
+    * member of both old clusters is relabeled to the joint minimum.
+    */
+  def incrementalComponents(store: DataFrame, newPairs: DataFrame,
+                            idCol1: String = "id1", idCol2: String = "id2",
+                            maxIter: Int = 50): DataFrame = {
+    val st = store.select(col("id").cast("long").as("id"),
+                          col("rep").cast("long").as("rep"))
+    val newNodes = newPairs
+      .select(col(idCol1).cast("long").as("id"))
+      .unionAll(newPairs.select(col(idCol2).cast("long").as("id")))
+      .where(col("id").isNotNull).distinct()
+    val touched = st.join(newNodes, "id").select("rep").distinct()
+    val affected = st.join(touched, "rep")
+    // The star forest is connectivity-preserving, so the touched clusters'
+    // (id, rep) edges stand in for ALL their original pairs. An affected
+    // singleton-row (id == rep) contributes no edge, but its cluster being
+    // touched means the id itself is in newPairs — it re-enters as a node
+    // there.
+    val merged = newPairs
+      .select(col(idCol1).cast("long").as("id1"), col(idCol2).cast("long").as("id2"))
+      .unionByName(affected.where(col("id") =!= col("rep"))
+        .select(col("id").as("id1"), col("rep").as("id2")))
+    val resolved = connectedComponents(merged, "id1", "id2", maxIter)
+    st.join(touched, Seq("rep"), "left_anti").select("id", "rep")
+      .unionByName(resolved)
+  }
 
   /** One round of large-star: every node u connects its LARGER neighbors to
     * the minimum of its neighborhood (including itself). High-degree hubs

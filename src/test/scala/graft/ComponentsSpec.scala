@@ -92,4 +92,58 @@ class ComponentsSpec extends GraftSpec {
     val pairs = spark.emptyDataset[(Long, Long)].toDF("id1", "id2")
     assert(Components.connectedComponents(pairs).count() == 0L)
   }
+
+  // --- incremental vs committed store -----------------------------------
+
+  private def incr(storeEdges: Seq[(Long, Long)],
+                   newEdges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val store = Components.connectedComponents(storeEdges.toDF("id1", "id2"))
+    Components.incrementalComponents(store, newEdges.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("incremental == full recompute on a random split (equivalence law)") {
+    val rnd = new scala.util.Random(23)
+    val all = Seq.fill(400)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val (a, b) = all.splitAt(250)
+    assert(incr(a, b) == run(all))
+  }
+
+  test("incremental merge of two committed clusters relabels every member") {
+    // store: {1,2,3} rep 1 and {10,11,12} rep 10; bridge 3-12 merges them
+    val store = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L))
+    val got = incr(store, Seq((3L, 12L)))
+    assert(Seq(1L, 2L, 3L, 10L, 11L, 12L).forall(i => got(i) == 1L))
+  }
+
+  test("incremental leaves untouched clusters byte-identical and adds new-only clusters") {
+    val store = Seq((1L, 2L), (50L, 51L))          // two committed clusters
+    val got = incr(store, Seq((70L, 71L)))          // touches neither
+    assert(got == Map(1L -> 1L, 2L -> 1L, 50L -> 50L, 51L -> 50L,
+                      70L -> 70L, 71L -> 70L))
+  }
+
+  test("incremental with an empty new batch returns the store unchanged") {
+    val store = Seq((1L, 2L), (2L, 3L))
+    val got = incr(store, Seq.empty)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("incremental where the new batch lowers a cluster's min id") {
+    // committed cluster {5,6} rep 5; new pair 0-6 makes 0 the rep
+    val got = incr(Seq((5L, 6L)), Seq((0L, 6L)))
+    assert(got == Map(0L -> 0L, 5L -> 0L, 6L -> 0L))
+  }
+
+  test("incremental survives a parquet round-trip of the store") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_store").toString
+    val store = Components.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2"))
+    store.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val got = Components.incrementalComponents(reloaded, Seq((3L, 10L)).toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L))
+  }
 }
