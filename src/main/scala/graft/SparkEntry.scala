@@ -427,6 +427,29 @@ object SparkEntry {
       out.orderBy("id")
     }),
 
+    // INCREMENTAL clusters: the same pair graph split deterministically in
+    // two (xxhash64 of the edge), the first half solved as a committed
+    // (id, rep) store, the second applied via incrementalComponents — the
+    // per-batch maintenance path. The oracle is the SAME recursive-CTE
+    // closure over the FULL dumped pair set: a green row proves
+    // incremental-apply == full recompute on real LSH output, including
+    // cluster merges across the split.
+    "q_dedup_clusters_incremental" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(nearDupCorpus(s, dir), "doc_id", "text", 64, 3)
+        .persist()
+      val pairs = try Dedup.minhashLshPairsFromSigs(sigs, threshold = 0.5)
+        .select("id1", "id2").persist()
+        finally sigs.unpersist(blocking = false)
+      if (oracleDumps)
+        pairs.write.mode("overwrite")
+          .parquet("/tmp/graft_oracle/cluster_pairs_incr")
+      val half = pmod(xxhash64(col("id1"), col("id2")), lit(2)) === 0
+      val store = Components.connectedComponents(pairs.where(half))
+      val out = try Components.incrementalComponents(store, pairs.where(!half))
+        finally pairs.unpersist(blocking = false)
+      out.orderBy("id")
+    }),
+
     // SimHash near-dup pairs, DuckDB-oracled from the written simhash
     // table: the oracle re-derives the 4×16-bit block LSH ((sh >> 16b) &
     // 0xFFFF — the mask makes arithmetic vs logical shift irrelevant),
@@ -1762,6 +1785,24 @@ object SparkEntry {
     "q_dedup_clusters" ->
       """WITH RECURSIVE pairs AS (
            SELECT id1, id2 FROM read_parquet('/tmp/graft_oracle/cluster_pairs/*.parquet')),
+         edges AS (
+           SELECT id1 AS u, id2 AS v FROM pairs
+           UNION
+           SELECT id2 AS u, id1 AS v FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+           WHERE e.v <> r.u)
+         SELECT u AS id, least(u, min(v)) AS rep
+         FROM reach GROUP BY u ORDER BY id""",
+
+    // same closure over the FULL pair set — the Spark side computed it as
+    // committed-store + incremental apply, so equality proves the
+    // incremental path end-to-end on real LSH output
+    "q_dedup_clusters_incremental" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT id1, id2 FROM read_parquet('/tmp/graft_oracle/cluster_pairs_incr/*.parquet')),
          edges AS (
            SELECT id1 AS u, id2 AS v FROM pairs
            UNION
