@@ -173,6 +173,20 @@ object SparkEntry {
           (abs(col("ao") - col("eo")).cast("double") / col("eo") <= 0.05).as("orders_ok"))
     }),
 
+    // Frequent-items (heavy-hitters) sketch — the skew detector for
+    // repo-keyed stages. maxMapSize 4096 > the 1.5k distinct custkeys keeps
+    // the sketch in its EXACT regime, so every estimate equals the true
+    // count and lb == ub == est — which is precisely what the exact
+    // GROUP BY/HAVING oracle asserts (the approximate regime's guarantees
+    // are property-tested in FreqSketchSpec instead).
+    "q_heavy_hitters" -> ((s, dir) => {
+      graft.stats.FreqSketch.heavyHitters(
+          Tables.orders(s, dir), "o_custkey", threshold = 18L, maxMapSize = 4096)
+        .select(col("item").cast("long").as("custkey"),
+                col("est"), col("lb"), col("ub"))
+        .orderBy("custkey")
+    }),
+
     // A15 t-digest quantiles — SELF-VALIDATING on RANK (the quantity a
     // t-digest actually bounds): the exact rank of each sketch quantile
     // must sit within ±0.02 of the requested rank
@@ -1416,6 +1430,15 @@ object SparkEntry {
 
     "q_hll_distinct" ->
       "SELECT true AS parts_ok, true AS orders_ok",
+
+    // exact-regime heavy hitters: sketch estimates equal true counts, so
+    // the oracle is the exact frequency cut with est == lb == ub
+    "q_heavy_hitters" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey,
+                CAST(count(*) AS BIGINT) AS est,
+                CAST(count(*) AS BIGINT) AS lb,
+                CAST(count(*) AS BIGINT) AS ub
+         FROM orders GROUP BY 1 HAVING count(*) >= 18 ORDER BY 1""",
 
     "q_tdigest" ->
       "SELECT true AS p50_ok, true AS p95_ok",

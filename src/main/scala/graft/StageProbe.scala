@@ -87,9 +87,9 @@ object StageProbe {
           pmod(xxhash64(col("path"), col("commit")), lit(16)).as("_s"))
         .agg(count(lit(1)).as("p"))
         .groupBy(col("batch_id"), col("repo")).agg(sum("p").as("file_count"))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("batch_id"))
-          .orderBy(col("file_count").desc, col("repo"))))
-        .where(col("rn") <= 100).collect()
+        .groupBy(col("batch_id"))
+        .agg(graft.stats.TopK.topKStrings(col("file_count"), col("repo"), 100).as("t"))
+        .select(col("batch_id"), explode(col("t"))).collect()
     }
 
     // full run (includes the stages above + violation/verdict/lineage writes

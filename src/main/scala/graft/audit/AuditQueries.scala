@@ -45,6 +45,31 @@ object AuditQueries {
           Sketches.heapify(x), Sketches.heapify(y))
     }
 
+  /** Global heavy-hitter repos across ALL committed batches by merging the
+    * audited frequent-items bytes driver-side — the cross-run mega-repo
+    * report (salting/capacity telemetry) with Misra-Gries guarantees:
+    * every repo whose total count ≥ `threshold` is present
+    * (NO_FALSE_NEGATIVES), and each row's (lb, ub) bracket its true count
+    * with ub − lb ≤ totalRows / (2 · FreqMapSize). The exact per-batch
+    * repo_metrics table cannot answer this without re-scanning: per-batch
+    * top-k lists are not mergeable (a repo just below every batch's cut
+    * can lead the global ranking).
+    */
+  def hotRepos(spark: SparkSession, io: TableIO,
+               threshold: Long): Option[Seq[(String, Long, Long, Long)]] =
+    io.readCommitted(spark, "sketches").map { df =>
+      val bytes = df.select("freq_repo").collect().map(_.getAs[Array[Byte]](0))
+      if (bytes.isEmpty) Seq.empty
+      else {
+        val merged = graft.stats.FreqSketch.heapify(bytes.reduce(graft.stats.FreqSketch.mergeBytes))
+        merged.getFrequentItems(threshold,
+            org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
+          .sortBy(r => (-r.getEstimate, r.getItem))
+          .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+          .toSeq
+      }
+    }
+
   /** Global content-length quantiles by merging committed t-digest bytes
     * driver-side (rows are O(#batches) — tiny).
     */

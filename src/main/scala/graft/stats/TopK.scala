@@ -268,6 +268,138 @@ case class AdcTopKAgg(
   override def prettyName: String = "adc_top_k"
 }
 
+/** Bounded "k best (count, item) pairs" for STRING-keyed rankings — the
+  * repo-metrics cut (`row_number() OVER (PARTITION BY batch
+  * ORDER BY count DESC, repo ASC) <= k`) without the window: a per-batch
+  * window rank funnels every repo of a batch through ONE reducer's sort
+  * (10^9 rows per partition at target scale); this aggregate keeps a
+  * k-bounded TreeSet per map task and shuffles ≤ mapTasks × k entries.
+  *
+  * Items compare as UTF-8 BYTES (unsigned, lexicographic) — exactly
+  * Spark's `UTF8String` ordering, so the cut is binary-identical to the
+  * window form even for non-ASCII keys where Java's UTF-16
+  * `String.compareTo` would disagree.
+  */
+case class TopKStringsAgg(
+    countExpr: Expression,
+    itemExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[(Long, Array[Byte])]]
+  with BinaryLike[Expression] {
+
+  require(k > 0, "k must be positive")
+
+  override def left: Expression = countExpr
+  override def right: Expression = itemExpr
+
+  private object Ord extends java.util.Comparator[(Long, Array[Byte])] {
+    override def compare(a: (Long, Array[Byte]), b: (Long, Array[Byte])): Int = {
+      val d = java.lang.Long.compare(b._1, a._1) // count DESC
+      if (d != 0) d
+      else { // item ASC, unsigned byte-lexicographic == UTF8String order
+        val (x, y) = (a._2, b._2)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          val c = java.lang.Integer.compare(x(i) & 0xFF, y(i) & 0xFF)
+          if (c != 0) return c
+          i += 1
+        }
+        java.lang.Integer.compare(x.length, y.length)
+      }
+    }
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Long, Array[Byte])] =
+    new java.util.TreeSet[(Long, Array[Byte])](Ord)
+
+  private def insert(buf: java.util.TreeSet[(Long, Array[Byte])],
+                     p: (Long, Array[Byte])): Unit = {
+    if (buf.size < k) buf.add(p)
+    else if (Ord.compare(p, buf.last()) < 0) {
+      if (buf.add(p)) buf.pollLast()
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[(Long, Array[Byte])],
+                      input: InternalRow): java.util.TreeSet[(Long, Array[Byte])] = {
+    val c = countExpr.eval(input)
+    val s = itemExpr.eval(input)
+    if (c != null && s != null)
+      insert(buf, (c.asInstanceOf[Long],
+        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes.clone()))
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[(Long, Array[Byte])],
+                     other: java.util.TreeSet[(Long, Array[Byte])]): java.util.TreeSet[(Long, Array[Byte])] = {
+    val it = other.iterator()
+    while (it.hasNext) insert(buf, it.next())
+    buf
+  }
+
+  /** Array of `struct<count: bigint, item: string>` in (count desc, item
+    * asc) order — the exact window-cut result; array position = rank − 1.
+    */
+  override def eval(buf: java.util.TreeSet[(Long, Array[Byte])]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val (c, b) = it.next()
+      out(i) = new GenericInternalRow(Array[Any](c,
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(b)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Long, Array[Byte])]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val (c, b) = it.next()
+      out.writeLong(c)
+      out.writeInt(b.length)
+      out.write(b)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Long, Array[Byte])] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val c = in.readLong()
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.add((c, b))
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("count", LongType, nullable = false),
+      StructField("item", StringType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): TopKStringsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKStringsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TopKStringsAgg =
+    copy(countExpr = l, itemExpr = r)
+  override def prettyName: String = "top_k_strings"
+}
+
 object TopK {
   /** Column API: array of the k best `(score, id)` structs, score desc /
     * id asc — `row_number()`-cut-exact, without the sort.
@@ -275,6 +407,15 @@ object TopK {
   def topKPairs(score: Column, id: Column, k: Int): Column =
     ColumnBridge.column(TopKPairsAgg(
       ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+      .toAggregateExpression())
+
+  /** Column API: array of the k best `(count, item)` structs, count desc /
+    * item asc (UTF-8 byte order) — the string-keyed window cut, without
+    * the window.
+    */
+  def topKStrings(count: Column, item: Column, k: Int): Column =
+    ColumnBridge.column(TopKStringsAgg(
+      ColumnBridge.expression(count), ColumnBridge.expression(item), k)
       .toAggregateExpression())
 
   /** Column API: all queries' k best ids from one score-array row per

@@ -32,7 +32,7 @@ case class Lineage(
     wall_ms: Long)
 
 object SuiteConfig {
-  val SuiteVersion = "graft-0.3"
+  val SuiteVersion = "graft-0.4" // 0.4: artifacts/sketches carry freq_repo bytes
   val KsThreshold = 0.05      // DESIGN.md:534
   val PsiThreshold = 0.2
   val ChiSqThreshold = 0.05
@@ -55,6 +55,15 @@ object SuiteConfig {
     * reach 10^6+ distinct lengths × langs × batches — a driver OOM.
     */
   val LenCardCap = 100000L
+  /** Per-buffer entry bound of the mergeable frequent-items (heavy-hitters)
+    * sketch of `repo` aggregated in the artifacts scan: epsilon =
+    * batchRows / (2 · 1024), so any repo holding ≥ ~0.05% of a batch is
+    * guaranteed reported (NO_FALSE_NEGATIVES) — the mega-repo detector
+    * whose audit bytes also merge ACROSS batches (AuditQueries.hotRepos),
+    * which the exact per-batch repo_metrics top-k cannot do without a
+    * re-scan.
+    */
+  val FreqMapSize = 1024
 }
 
 /** Batch-parallel validation suite over the code table
@@ -101,6 +110,7 @@ object SuiteRunner {
       hllKey: Array[Byte] = Array.empty,     // mergeable HLL of (repo,path,commit)
       hllRepo: Array[Byte] = Array.empty,    // mergeable HLL of repo
       tdigestLen: Array[Byte] = Array.empty, // mergeable t-digest of content length
+      freqRepo: Array[Byte] = Array.empty,   // mergeable heavy-hitters sketch of repo
       shaSamples: Seq[String] = Seq.empty,   // capped JSON {repo,path,commit} triples
       lenCardApprox: Long = 0L)              // approx distinct lengths (routing)
 
@@ -119,19 +129,22 @@ object SuiteRunner {
       len_vals: Seq[Long], len_cnts: Seq[Long],
       fingerprint: String,
       hll_key: Array[Byte], hll_repo: Array[Byte], tdigest_len: Array[Byte],
+      freq_repo: Array[Byte],
       sha_samples: Seq[String], len_card: Long)
 
   def toRow(a: BatchArtifacts): ArtifactRow = ArtifactRow(
     a.batchId, a.rows, a.lenMin, a.lenMax, a.lenMean, a.lenStd,
     a.missingPath, a.missingLang, a.missingContent, a.shaMismatch,
     a.langCounts, a.lenCounts.map(_._1), a.lenCounts.map(_._2),
-    a.fingerprint, a.hllKey, a.hllRepo, a.tdigestLen, a.shaSamples, a.lenCardApprox)
+    a.fingerprint, a.hllKey, a.hllRepo, a.tdigestLen, a.freqRepo,
+    a.shaSamples, a.lenCardApprox)
 
   def fromRow(r: ArtifactRow): BatchArtifacts = BatchArtifacts(
     r.batch_id, r.rows, r.len_min, r.len_max, r.len_mean, r.len_std,
     r.missing_path, r.missing_lang, r.missing_content, r.sha_mismatch,
     r.lang_counts, r.len_vals.zip(r.len_cnts),
-    r.fingerprint, r.hll_key, r.hll_repo, r.tdigest_len, r.sha_samples, r.len_card)
+    r.fingerprint, r.hll_key, r.hll_repo, r.tdigest_len, r.freq_repo,
+    r.sha_samples, r.len_card)
 
   /** Exact two-sample KS from distinct-value count maps (driver-side; the
     * maps are groupBy(value).count results, already tiny).
@@ -233,7 +246,11 @@ object SuiteRunner {
       // HLL distinct + t-digest quantiles persisted per batch (north star)
       hll_sketch_agg(col("keyhash")).as("hll_key"),
       hll_sketch_agg(col("repo")).as("hll_repo"),
-      graft.stats.Sketches.tdigestAgg(col("len").cast("double")).as("tdigest_len")).collect()
+      graft.stats.Sketches.tdigestAgg(col("len").cast("double")).as("tdigest_len"),
+      // heavy-hitters sketch of repo rides the same scan: the mega-repo
+      // detector, mergeable across batches from the committed bytes
+      graft.stats.FreqSketch.freqItemsAgg(col("repo"), SuiteConfig.FreqMapSize)
+        .as("freq_repo")).collect()
       .map(r => r.getAs[Long]("batch_id") -> r).toMap
 
     // job 2: (lang, distinct-length) counts per batch in ONE pass over the
@@ -287,7 +304,7 @@ object SuiteRunner {
           Option(r.getAs[java.math.BigDecimal]("fp"))
             .map(_.toBigInteger.toString(16)).getOrElse("0"),
           r.getAs[Array[Byte]]("hll_key"), r.getAs[Array[Byte]]("hll_repo"),
-          r.getAs[Array[Byte]]("tdigest_len"),
+          r.getAs[Array[Byte]]("tdigest_len"), r.getAs[Array[Byte]]("freq_repo"),
           r.getAs[scala.collection.Seq[String]]("sha_samples").toSeq,
           r.getAs[Long]("len_card"))
       }
@@ -531,9 +548,18 @@ object SuiteRunner {
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col("batch_id"), col("repo"))
       .agg(sum("_partial").as("file_count"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("batch_id"))
-        .orderBy(col("file_count").desc, col("repo"))))
-      .where(col("rn") <= ViolationCap).withColumnRenamed("rn", "rank")
+      // top-ViolationCap per batch via the bounded TopKStringsAgg instead
+      // of a row_number window: the window form funnels EVERY repo of a
+      // batch through one reducer's sort (10^9 rows per window partition
+      // at target scale); the aggregate shuffles ≤ mapTasks × cap entries
+      // and its (count desc, repo asc UTF-8) cut is window-identical
+      // (TopKSpec pins the equality on skewed data)
+      .groupBy(col("batch_id"))
+      .agg(graft.stats.TopK.topKStrings(
+        col("file_count"), col("repo"), ViolationCap).as("_top"))
+      .select(col("batch_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("batch_id"), col("_t.item").as("repo"),
+        col("_t.count").as("file_count"), (col("_pos") + 1).cast("int").as("rank"))
 
     // per-batch MERGEABLE sketches (north star: HLL distinct + t-digest
     // quantiles persisted to the audit table so later/resumed runs answer
@@ -542,7 +568,7 @@ object SuiteRunner {
     // beyond the tiny write.
     val sketchRows = pending.map { b =>
       val a = arts(b)
-      (b, a.rows, a.hllKey, a.hllRepo, a.tdigestLen)
+      (b, a.rows, a.hllKey, a.hllRepo, a.tdigestLen, a.freqRepo)
     }
 
     // Every audit table write is independent of the others → submit them
@@ -558,7 +584,8 @@ object SuiteRunner {
     val allWrites: Seq[(String, DataFrame)] =
       allViolations.map { case (name, df) => s"violations_$name" -> df } ++ Seq(
         "repo_metrics" -> repoMetrics,
-        "sketches" -> sketchRows.toDF("batch_id", "rows", "hll_key", "hll_repo", "tdigest_len"),
+        "sketches" -> sketchRows.toDF("batch_id", "rows", "hll_key", "hll_repo",
+          "tdigest_len", "freq_repo"),
         // artifacts snapshot: what a resumed run loads instead of
         // re-scanning the baseline partition
         "artifacts" -> pending.map(b => toRow(arts(b))).toDF(),

@@ -130,6 +130,19 @@ class SuiteSpec extends GraftSpec {
       val joined = rm.join(plain, Seq("batch_id", "repo"))
         .where(col("file_count") =!= col("count")).count()
       assert(joined == 0, "salted two-level counts must be exact")
+
+      // cross-batch heavy hitters from the committed freq_repo bytes:
+      // in the exact regime (distinct repos < FreqMapSize) the merged
+      // estimates equal whole-table exact counts, mega-repo first
+      val truth = code.groupBy("repo").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val hot = graft.audit.AuditQueries.hotRepos(spark, io, threshold = 50L).get
+      assert(hot.nonEmpty && hot.head._1 == "repo_0000")
+      hot.foreach { case (repo, est, lb, ub) =>
+        assert(est == truth(repo) && lb == est && ub == est,
+          s"$repo: est $est lb $lb ub $ub vs true ${truth(repo)}")
+      }
+      assert(hot.map(_._1).toSet == truth.filter(_._2 >= 50L).keySet)
     } finally rmdir(root)
   }
 

@@ -73,4 +73,43 @@ class TopKSpec extends GraftSpec {
     assert(one == ref)
     assert(!one.exists { case (q, id) => qids(q) == id })
   }
+
+  test("top_k_strings equals the per-group window cut on skewed string keys") {
+    import org.apache.spark.sql.expressions.Window
+    // zipf-ish repo counts with ties, 3 batches — the repo_metrics shape
+    val counts = spark.range(0, 3000).select(
+      (col("id") % 3).as("b"),
+      concat(lit("repo_"), lpad((pmod(xxhash64(col("id")), lit(200))).cast("string"), 4, "0")).as("repo"))
+      .groupBy("b", "repo").agg(count(lit(1)).as("n"))
+    def agg(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("b")
+        .agg(TopK.topKStrings(col("n"), col("repo"), 15).as("t"))
+        .select(col("b"), posexplode(col("t")).as(Seq("pos", "p")))
+        .select(col("b"), col("p.item"), col("p.count"),
+          (col("pos") + 1).cast("long").as("rank"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+    val got = agg(counts.coalesce(1))
+    assert(got == agg(counts.repartition(17))) // merge/serialize lifecycle
+    val w = Window.partitionBy(col("b")).orderBy(col("n").desc, col("repo").asc)
+    val ref = counts.withColumn("rank", row_number().over(w)).where(col("rank") <= 15)
+      .select(col("b"), col("repo"), col("n"), col("rank").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got == ref)
+  }
+
+  test("top_k_strings orders non-ASCII ties by UTF-8 bytes like Spark, not UTF-16") {
+    // U+FF01 (ef bc 81 in UTF-8) vs U+10000 (f0 90 80 80): UTF-16 order
+    // puts U+FF01 after the surrogate pair's first unit? No — '！' >
+    // "𐀀" by code units, while UTF-8 bytes order them the other
+    // way. The aggregate must agree with Spark's sort.
+    val df = Seq(("！x", 5L), ("𐀀x", 5L), ("a", 5L)).toDF("k", "n")
+    val got = df.agg(TopK.topKStrings(col("n"), col("k"), 3).as("t"))
+      .select(explode(col("t")).as("p")).select(col("p.item"))
+      .collect().map(_.getString(0)).toSeq
+    val ref = df.orderBy(col("n").desc, col("k").asc)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == ref)
+  }
 }
