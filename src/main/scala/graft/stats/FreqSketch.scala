@@ -155,4 +155,14 @@ object FreqSketch {
   def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     val sa = heapify(a); sa.merge(heapify(b)); sa.toByteArray(new ArrayOfStringsSerDe)
   }
+
+  /** The NO_FALSE_NEGATIVES key cut from sketch bytes — the hot set fed to
+    * [[graft.suite.Salting.adaptiveSaltCol]]: every key whose true count
+    * reaches `threshold` is guaranteed present (overshoot is possible in
+    * the approximate regime and harmless there — salting a cold key never
+    * breaks exactness). Deterministic order (estimate desc, key asc).
+    */
+  def hotKeys(bytes: Array[Byte], threshold: Long): Seq[String] =
+    heapify(bytes).getFrequentItems(threshold, ErrorType.NO_FALSE_NEGATIVES)
+      .sortBy(r => (-r.getEstimate, r.getItem)).map(_.getItem).toSeq
 }

@@ -90,8 +90,10 @@ object SuiteConfig {
   *
   * Skew: groupBy keys are (batch, lang/bin/length) or near-unique triples —
   * none is repo-keyed, so the 30% mega-repo cannot hot-spot a reducer. The
-  * only repo-keyed metric (files per repo) goes through the salted
-  * two-level aggregate [[Salting.saltedCount]].
+  * only repo-keyed metric (files per repo) goes through the ADAPTIVELY
+  * salted two-level aggregate ([[Salting.adaptiveSaltCol]]): the job-1
+  * freq_repo sketch names the hot repos, only those are splintered across
+  * salt buckets, and the long tail pays no partial-row multiplier.
   */
 object SuiteRunner {
   import SuiteConfig._
@@ -542,9 +544,32 @@ object SuiteRunner {
     // of rows; a plain groupBy(repo) would hot-spot one reducer). Counts
     // are mergeable, so the two-level result is exact. Top repos per batch
     // land in the audit as capacity/skew telemetry.
+    //
+    // ADAPTIVE salting: the job-1 freq_repo sketch NAMES the hot repos
+    // before this stage runs — only those get splintered across
+    // SaltBuckets; the long tail keeps salt 0, so level-1 partial volume
+    // is one row per cold (batch, repo) per map task instead of up to
+    // SaltBuckets of them (the multiplier that dominates at 10^8+ distinct
+    // repos). Threshold = an average reducer's row share: any repo that
+    // could fill a whole reducer is guaranteed named (NO_FALSE_NEGATIVES;
+    // per-batch hot ⇒ global count ≥ threshold ⇒ named), and spuriously
+    // named borderline keys only cost ≤ SaltBuckets extra partials each —
+    // exactness never depends on the hot set (SaltingSpec law).
+    val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pendingRows = pending.map(b => arts(b).rows).sum
+    val hotRepos: Seq[String] = pending.map(b => arts(b).freqRepo)
+      .filter(_.nonEmpty).reduceOption(graft.stats.FreqSketch.mergeBytes)
+      .map(graft.stats.FreqSketch.hotKeys(_,
+        math.max(1L, pendingRows / math.max(1, shuffleParts))))
+      .getOrElse(Seq.empty)
+    if (hotRepos.nonEmpty)
+      System.err.println(s"[graft] adaptive salting: ${hotRepos.size} hot repo(s) " +
+        s"named by the freq sketch at threshold ${math.max(1L, pendingRows / math.max(1, shuffleParts))}: " +
+        hotRepos.take(5).mkString(", ") + (if (hotRepos.size > 5) ", …" else ""))
     val repoMetrics = pendingCode
       .groupBy(col("batch_id"), col("repo"),
-        pmod(xxhash64(col("path"), col("commit")), lit(SaltBuckets)).as("_salt"))
+        Salting.adaptiveSaltCol(col("repo"), hotRepos, SaltBuckets,
+          Seq(col("path"), col("commit"))).as("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col("batch_id"), col("repo"))
       .agg(sum("_partial").as("file_count"))
