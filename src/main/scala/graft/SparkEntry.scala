@@ -392,6 +392,23 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // J4 layout answer: the seen-set committed as a BUCKETED store — the
+    // corpus side of the exact anti-join is hash-partitioned at write time
+    // and never shuffles again (BucketedSpec proves the one-Exchange plan);
+    // semantics identical to the plain anti-join, so the oracle is the
+    // same SQL as q_bloom_newonly's
+    "q_bucketed_newonly" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_q_bucketed_seen").toString
+      graft.tableio.Bucketed.commit(
+        d.where(col("doc_id") < 250).select("doc_id"),
+        "graft_q_seen_bucketed", storeDir, Seq("doc_id"), buckets = 8)
+      val seen = graft.tableio.Bucketed.open(s, "graft_q_seen_bucketed", storeDir)
+      Dedup.newOnly(d.where(col("doc_id") >= 200), seen, Seq("doc_id"))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // U1/U2: union + dedup
     "q_union_dedup" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -1290,6 +1307,14 @@ object SparkEntry {
          ORDER BY doc_id""",
 
     "q_bloom_newonly" ->
+      """SELECT doc_id, lang FROM documents d
+         WHERE doc_id >= 200 AND NOT EXISTS (
+           SELECT 1 FROM documents s
+           WHERE s.doc_id < 250 AND s.doc_id = d.doc_id)
+         ORDER BY doc_id""",
+
+    // bucketed layout is invisible to semantics: same oracle as the bloom path
+    "q_bucketed_newonly" ->
       """SELECT doc_id, lang FROM documents d
          WHERE doc_id >= 200 AND NOT EXISTS (
            SELECT 1 FROM documents s
