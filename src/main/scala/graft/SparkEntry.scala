@@ -409,6 +409,49 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // Schema validation (reference DESIGN.md:317-326, 600): the pre-flight
+    // gate's pin → reload → diff path end-to-end, DuckDB-oracled from
+    // parquet FOOTERS — both sides are written with their declared schemas
+    // (REQUIRED/OPTIONAL lands in the footer) and the oracle re-derives
+    // every issue kind from parquet_schema() alone, an independent
+    // footer-level reimplementation of the diff. Spark-side nullability
+    // must come from the DECLARED schema (file read-back is forced
+    // nullable), which is exactly why the engine pins schema JSON to the
+    // audit dir instead of trusting re-read footers.
+    "q_schema_check" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
+      val d = Tables.documents(s, dir)
+      val src = d.orderBy("doc_id").limit(50)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("double"))
+        .collect() // bounded: 50 rows, schema-contract fixture only
+      val baseSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("lang", StringType, nullable = true),
+        StructField("score", DoubleType, nullable = false)))
+      val curSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = true),   // relaxed
+        StructField("score", StringType, nullable = true),  // retyped
+        StructField("extra", LongType, nullable = true)))   // new (+ lang dropped)
+      val baseDf = s.createDataFrame(
+        java.util.Arrays.asList(src.map(r => Row(r.getLong(0), r.getString(1),
+          r.getDouble(2))): _*), baseSchema)
+      val curDf = s.createDataFrame(
+        java.util.Arrays.asList(src.map(r => Row(r.getLong(0),
+          r.getDouble(2).toString, r.getLong(0) * 2)): _*), curSchema)
+      val outBase = if (oracleDumps) "/tmp/graft_oracle"
+        else java.nio.file.Files.createTempDirectory("graft_schema_q").toString
+      baseDf.coalesce(1).write.mode("overwrite").parquet(s"$outBase/schema_base")
+      curDf.coalesce(1).write.mode("overwrite").parquet(s"$outBase/schema_cur")
+      val io = new graft.tableio.ParquetTableIO(
+        java.nio.file.Files.createTempDirectory("graft_schema_audit").toString)
+      graft.suite.SchemaCheck.pin(io, baseSchema)
+      import s.implicits._
+      graft.suite.SchemaCheck.preflight(io, curSchema)
+        .map(i => (i.column, i.issue)).toDF("col_name", "issue")
+        .orderBy("col_name", "issue")
+    }),
+
     // U1/U2: union + dedup
     "q_union_dedup" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -1312,6 +1355,40 @@ object SparkEntry {
            SELECT 1 FROM documents s
            WHERE s.doc_id < 250 AND s.doc_id = d.doc_id)
          ORDER BY doc_id""",
+
+    // footer-level re-derivation of the schema diff: DuckDB reads ONLY the
+    // two written parquet footers (never the engine's issue rows) and
+    // reimplements each issue kind from name/type/converted_type/
+    // repetition_type; nullability_relaxed applies only when types match
+    // (same precedence as the engine)
+    "q_schema_check" ->
+      """WITH b AS (
+           SELECT DISTINCT name, type, coalesce(converted_type, '') AS ct,
+                  repetition_type
+           FROM parquet_schema('/tmp/graft_oracle/schema_base/*.parquet')
+           WHERE num_children IS NULL),
+         c AS (
+           SELECT DISTINCT name, type, coalesce(converted_type, '') AS ct,
+                  repetition_type
+           FROM parquet_schema('/tmp/graft_oracle/schema_cur/*.parquet')
+           WHERE num_children IS NULL)
+         SELECT col_name, issue FROM (
+           SELECT b.name AS col_name, 'missing_column' AS issue
+           FROM b WHERE b.name NOT IN (SELECT name FROM c)
+           UNION ALL
+           SELECT c.name, 'new_column'
+           FROM c WHERE c.name NOT IN (SELECT name FROM b)
+           UNION ALL
+           SELECT b.name, 'type_changed'
+           FROM b JOIN c USING (name)
+           WHERE b.type != c.type OR b.ct != c.ct
+           UNION ALL
+           SELECT b.name, 'nullability_relaxed'
+           FROM b JOIN c USING (name)
+           WHERE b.type = c.type AND b.ct = c.ct
+             AND b.repetition_type = 'REQUIRED'
+             AND c.repetition_type = 'OPTIONAL')
+         ORDER BY col_name, issue""",
 
     // bucketed layout is invisible to semantics: same oracle as the bloom path
     "q_bucketed_newonly" ->

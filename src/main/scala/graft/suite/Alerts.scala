@@ -23,7 +23,9 @@ object Alerts {
     AlertRule("quality_score", "less_than", 0.8, "warning",
       "quality score %s below 0.8"),
     AlertRule("sha256_invariant", "greater_than", 0.0, "critical",
-      "%s sha256 mismatches"))
+      "%s sha256 mismatches"),
+    AlertRule("schema", "greater_than", 0.0, "critical",
+      "%s schema drift issue(s) vs committed baseline"))
 
   /** Evaluate rules against verdict rows (rule.metric matches verdict.check;
     * the compared value is p_value for p-valued checks, metric otherwise —

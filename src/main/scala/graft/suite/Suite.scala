@@ -362,6 +362,21 @@ object SuiteRunner {
     val pending = allBatches.filterNot(committed)
     if (pending.isEmpty) return Seq.empty
 
+    // PRE-FLIGHT schema gate (reference DESIGN.md:317-326 schema registry /
+    // compatibility validation; "Schema violations" metric, DESIGN.md:600):
+    // metadata-only — the diff costs the same at 10^12 rows as at 10^2
+    // because it never scans data. First run pins the normalized input
+    // schema to the audit dir (atomic manifest, version-gated like every
+    // persisted artifact); later runs diff against the reload. The issues
+    // become a per-batch `schema` verdict row (and a critical alert rule),
+    // NOT a quality_score input: quality is the reference's CONTENT metric,
+    // schema drift is a compatibility gate with its own verdict.
+    val schemaIssues = SchemaCheck.preflight(io, code.schema)
+    if (schemaIssues.nonEmpty)
+      System.err.println(s"[graft] schema drift vs committed baseline (" +
+        s"${schemaIssues.size} issue(s)): " +
+        schemaIssues.map(i => s"${i.column}:${i.issue}").mkString(", "))
+
     // baseline artifacts: computed once — the FIRST scan establishes the
     // reference distributions (T7, DESIGN.md:536-537) and commits them to
     // the `artifacts` audit table; every later/resumed run reloads that
@@ -510,6 +525,8 @@ object SuiteRunner {
       val isBase = b == baselineBatch
       val missRate = if (a.rows == 0) 0.0 else a.missingPath.toDouble / a.rows
       val verdicts = Seq(
+        Verdict(b, "schema", "*", schemaIssues.size.toDouble, Double.NaN, 0,
+          schemaIssues.isEmpty, schemaIssues.size),
         Verdict(b, "uniqueness", "repo,path,commit", dupCounts.getOrElse(b, 0L).toDouble,
           Double.NaN, 0, dupCounts.getOrElse(b, 0L) == 0, dupCounts.getOrElse(b, 0L)),
         Verdict(b, "referential", "repo,lang", refCounts.getOrElse(b, 0L).toDouble,
