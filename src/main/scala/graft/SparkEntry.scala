@@ -409,6 +409,16 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // Freshness/timeliness (reference DESIGN.md:602): per-type staleness
+    // against the dataset watermark — closed-set deterministic (reference
+    // time = global max ts, never the wall clock), whole-second floors on
+    // both sides so the oracle agrees bit-for-bit
+    "q_freshness" -> ((s, dir) => {
+      graft.suite.Monitoring.freshness(
+        Tables.events(s, dir), "ts", Seq("event_type"), thresholdSec = 86400L)
+        .orderBy("event_type")
+    }),
+
     // Schema validation (reference DESIGN.md:317-326, 600): the pre-flight
     // gate's pin → reload → diff path end-to-end, DuckDB-oracled from
     // parquet FOOTERS — both sides are written with their declared schemas
@@ -1355,6 +1365,18 @@ object SparkEntry {
            SELECT 1 FROM documents s
            WHERE s.doc_id < 250 AND s.doc_id = d.doc_id)
          ORDER BY doc_id""",
+
+    // NOTE: floor(epoch(..)) not CAST(epoch(..) AS BIGINT) — DuckDB's
+    // double->bigint cast ROUNDS the fractional second while Spark's
+    // unix_timestamp FLOORS it (off-by-one whenever fraction >= 0.5)
+    "q_freshness" ->
+      """WITH wm AS (SELECT max(ts) AS w FROM events)
+         SELECT event_type, max(ts) AS last_seen,
+                CAST(floor(epoch(w)) AS BIGINT)
+                  - CAST(floor(epoch(max(ts))) AS BIGINT) AS staleness_sec,
+                (CAST(floor(epoch(w)) AS BIGINT)
+                  - CAST(floor(epoch(max(ts))) AS BIGINT)) <= 86400 AS fresh
+         FROM events, wm GROUP BY event_type, w ORDER BY event_type""",
 
     // footer-level re-derivation of the schema diff: DuckDB reads ONLY the
     // two written parquet footers (never the engine's issue rows) and
