@@ -4,12 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.dedup.{Components, Dedup, Semantic}
+import graft.dedup.{Components, Contamination, Dedup, Semantic}
 import graft.drift.{Drift, KsTest}
 import graft.sample.Sampling
 import graft.sim.{Ann, Ivf}
 import graft.stats.{Sketches, Stats}
-import graft.text.TextAnalysis
+import graft.text.{Repetition, TextAnalysis}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * plus the training-data pipeline operators (dedup/ANN/text/multimodal).
@@ -569,6 +569,40 @@ object SparkEntry {
       Dedup.simhashPairsFromHashes(sh, maxDist = 3)
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("id1", "id2")
+    }),
+
+    // Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    // native one-pass kernel, row-local (no shuffle). Multi-line content is
+    // planted deterministically (documents have no newlines) by tripling
+    // every doc_id % 3 == 0 text as three lines — those docs must show
+    // dup_line_frac 2/3; the DuckDB oracle recomputes all three fractions
+    // from the raw text with the same pinned normalization
+    "q_repetition" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat_ws("\n", col("text"), col("text"), col("text")))
+            .otherwise(col("text")).as("c"))
+      src.select(col("doc_id"), Repetition.statsCol(col("c"), 2).as("st"))
+        .select(col("doc_id"),
+          r(col("st.dup_line_frac")).as("dup_line_frac"),
+          r(col("st.dup_line_char_frac")).as("dup_line_char_frac"),
+          r(col("st.top_ngram_char_frac")).as("top_ngram_char_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // benchmark-contamination report (GPT-3 §C 13-gram protocol, n=3 at
+    // test scale so the synthetic corpus overlaps at all): eval set =
+    // doc_id % 17 == 0, corpus = the rest under 300. Spark joins 64-bit
+    // gram hashes (broadcast eval side); the oracle re-derives gram
+    // STRINGS from raw text — a hash collision would fail the gate
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Contamination.report(
+        docs.where(col("doc_id") % 17 =!= 0 && col("doc_id") < 300),
+        docs.where(col("doc_id") % 17 === 0),
+        "doc_id", "text", n = 3, minOverlap = 1)
+        .orderBy("doc_id")
     }),
 
     // exact word-3-gram Jaccard re-rank over a DETERMINISTIC candidate set
@@ -1705,6 +1739,66 @@ object SparkEntry {
 
     "q_ann_pq_recall" ->
       "SELECT true AS recall_ok, CAST(20 AS BIGINT) AS n_queries",
+
+    // full external recompute of all three repetition fractions from raw
+    // text: same line-trim (spaces only), same pinned normalization, same
+    // max(count·len) tie-free top-gram product, integer counts → one
+    // double division each side, so values agree bit-for-bit before the
+    // shared round(.,4)
+    "q_repetition" ->
+      """WITH src AS (
+           SELECT doc_id, CASE WHEN doc_id % 3 = 0
+                    THEN concat_ws(chr(10), text, text, text) ELSE text END AS c
+           FROM documents WHERE doc_id < 100),
+         lines AS (
+           SELECT doc_id, trim(l, ' ') AS l
+           FROM (SELECT doc_id, unnest(string_split(c, chr(10))) AS l FROM src)
+           WHERE trim(l, ' ') <> ''),
+         lc AS (SELECT doc_id, l, count(*) AS cnt, length(l) AS len
+                FROM lines GROUP BY doc_id, l),
+         lstat AS (SELECT doc_id,
+             (sum(cnt) - count(*))::DOUBLE / sum(cnt) AS dlf,
+             sum((cnt - 1) * len)::DOUBLE / sum(cnt * len) AS dlcf
+           FROM lc GROUP BY doc_id),
+         norm AS (SELECT doc_id,
+             trim(regexp_replace(lower(c), '[^a-z0-9]+', ' ', 'g')) AS nt
+           FROM src),
+         w AS (SELECT doc_id, nt, string_split(nt, ' ') AS ws FROM norm),
+         gc AS (SELECT doc_id, g, count(*) AS cnt FROM
+                 (SELECT doc_id, unnest([array_to_string(ws[i:i+1], ' ')
+                                         for i in range(1, len(ws))]) AS g
+                  FROM w WHERE nt <> '' AND len(ws) >= 2)
+                GROUP BY doc_id, g),
+         gmax AS (SELECT doc_id, max(cnt * length(g)) AS mc FROM gc GROUP BY doc_id)
+         SELECT s.doc_id,
+                round(coalesce(l.dlf, 0.0), 4) AS dup_line_frac,
+                round(coalesce(l.dlcf, 0.0), 4) AS dup_line_char_frac,
+                round(CASE WHEN n.nt = '' OR g.mc IS NULL THEN 0.0
+                      ELSE least(g.mc::DOUBLE / length(n.nt), 1.0) END, 4)
+                  AS top_ngram_char_frac
+         FROM src s JOIN norm n USING (doc_id)
+         LEFT JOIN lstat l USING (doc_id) LEFT JOIN gmax g USING (doc_id)
+         ORDER BY doc_id""",
+
+    // gram STRINGS re-derived from raw text on both sides of the overlap
+    // join (Spark joined 64-bit hashes — a collision would fail here)
+    "q_contamination" ->
+      """WITH norm AS (SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         g AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [nt]
+                 ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                     for i in range(1, len(w)-1)]) END AS gs
+               FROM norm),
+         eg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 17 = 0),
+         cg AS (SELECT doc_id, unnest(gs) AS gram FROM g
+                WHERE doc_id % 17 <> 0 AND doc_id < 300)
+         SELECT c.doc_id, count(*) AS total_grams, count(e.gram) AS overlap_grams,
+                round(count(e.gram)::DOUBLE / count(*), 4) AS overlap_frac,
+                count(e.gram) >= 1 AS contaminated
+         FROM cg c LEFT JOIN eg e ON c.gram = e.gram
+         GROUP BY c.doc_id ORDER BY doc_id""",
 
     "q_ngram_jaccard" ->
       """WITH dups AS (
