@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.dedup.{Components, Contamination, Dedup, Semantic}
-import graft.drift.{Drift, KsTest}
+import graft.drift.{Drift, GroupDrift, KsTest}
 import graft.sample.Sampling
 import graft.sim.{Ann, Ivf}
 import graft.stats.{Sketches, Stats}
@@ -985,6 +985,23 @@ object SparkEntry {
           math.rint(ks("l_quantity").statistic * 1e6) / 1e6))
     }),
 
+    // stratified drift: exact KS + normalized mean shift WITHIN each
+    // l_returnflag stratum (global tests mask subpopulation drift).
+    // maxGroups=2 forces the least-frequent flag through the __other__
+    // lumping path so the bounded-lanes semantics are gate-covered too
+    "q_drift_by_group" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val isBase = col("l_shipdate") < lit(BaselineDate).cast("timestamp")
+      GroupDrift.ksMeanByGroup(li, "l_returnflag", "l_extendedprice",
+        isBase, maxGroups = 2)
+        .select(col("group"), r(col("ks_stat"), 6).as("ks_stat"),
+          r(col("ks_p"), 6).as("ks_p"),
+          r(col("mean_base")).as("mean_base"), r(col("mean_cur")).as("mean_cur"),
+          r(col("mean_shift")).as("mean_shift"),
+          col("n_base"), col("n_cur"), col("drifted"))
+        .orderBy("group")
+    }),
+
     // A16 PSI over 10 baseline-pinned bins
     "q_psi" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -1549,6 +1566,54 @@ object SparkEntry {
          dp AS (SELECT max(abs(cum1 * n2 - cum2 * n1)) / (max(n1) * max(n2)) AS d FROM cpc),
          dq AS (SELECT max(abs(cum1 * n2 - cum2 * n1)) / (max(n1) * max(n2)) AS d FROM cqc)
          SELECT round(dp.d, 6) AS ks_price, round(dq.d, 6) AS ks_qty FROM dp, dq""",
+
+    // full per-group recompute: same top-2 cut (count desc, name asc), same
+    // __other__ lump, per-group integer-cum KS (exact in doubles below
+    // 2^53), the engine's 100-term Kolmogorov series, and the std-guarded
+    // mean shift
+    "q_drift_by_group" ->
+      """WITH sel AS (
+           SELECT l_returnflag AS f, count(*) AS c FROM lineitem
+           WHERE l_returnflag IS NOT NULL GROUP BY 1 ORDER BY c DESC, f LIMIT 2),
+         clean AS (
+           SELECT CASE WHEN l_returnflag IN (SELECT f FROM sel) THEN l_returnflag
+                  ELSE '__other__' END AS g,
+                  l_extendedprice AS v,
+                  CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS s1
+           FROM lineitem WHERE l_returnflag IS NOT NULL
+             AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+         cnt AS (SELECT g, v, sum(s1) c1, sum(1 - s1) c2 FROM clean GROUP BY 1, 2),
+         cum AS (SELECT g,
+                   CAST(sum(c1) OVER (PARTITION BY g ORDER BY v) AS DOUBLE) cum1,
+                   CAST(sum(c2) OVER (PARTITION BY g ORDER BY v) AS DOUBLE) cum2,
+                   CAST(sum(c1) OVER (PARTITION BY g) AS DOUBLE) n1,
+                   CAST(sum(c2) OVER (PARTITION BY g) AS DOUBLE) n2
+                 FROM cnt),
+         ks AS (SELECT g, CASE WHEN max(n1) = 0 OR max(n2) = 0 THEN 0.0
+                          ELSE max(abs(cum1 * n2 - cum2 * n1))
+                               / (max(n1) * max(n2)) END AS d,
+                       CAST(max(n1) AS BIGINT) AS n_base,
+                       CAST(max(n2) AS BIGINT) AS n_cur
+                FROM cum GROUP BY 1),
+         ksp AS (SELECT g, d, n_base, n_cur,
+                  CASE WHEN n_base = 0 OR n_cur = 0 OR d <= 0 THEN 1.0
+                  ELSE least(1.0, greatest(0.0, list_sum(list_transform(range(1, 101),
+                    k -> 2.0 * (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                         * exp(-2.0 * k * k
+                               * (sqrt(n_base * n_cur / CAST(n_base + n_cur AS DOUBLE)) * d)
+                               * (sqrt(n_base * n_cur / CAST(n_base + n_cur AS DOUBLE)) * d)))))) END AS pv
+                 FROM ks),
+         m AS (SELECT g, avg(CASE WHEN s1 = 1 THEN v END) AS mb,
+                      stddev_samp(CASE WHEN s1 = 1 THEN v END) AS sb,
+                      avg(CASE WHEN s1 = 0 THEN v END) AS mc
+               FROM clean GROUP BY 1)
+         SELECT k.g AS "group", round(k.d, 6) AS ks_stat, round(k.pv, 6) AS ks_p,
+                round(m.mb, 4) AS mean_base, round(m.mc, 4) AS mean_cur,
+                round(CASE WHEN m.sb IS NULL OR m.sb = 0 OR m.mb IS NULL
+                           OR m.mc IS NULL THEN 0.0
+                      ELSE abs(m.mb - m.mc) / m.sb END, 4) AS mean_shift,
+                k.n_base, k.n_cur, k.pv < 0.05 AS drifted
+         FROM ksp k JOIN m USING (g) ORDER BY g""",
 
     "q_psi" ->
       """WITH base AS (

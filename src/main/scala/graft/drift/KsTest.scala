@@ -68,7 +68,9 @@ object KsTest {
     * table. Runs ONE driver action itself (the boundary percentiles); the
     * returned DataFrame is the single final job.
     */
-  private def ksMaxGapFromCounts(counts: DataFrame, buckets: Int): DataFrame = {
+  // package-private: [[GroupDrift]] feeds lane-keyed counts (lanes =
+  // groups instead of melted columns) through the same two-phase machinery
+  private[drift] def ksMaxGapFromCounts(counts: DataFrame, buckets: Int): DataFrame = {
     val spark = counts.sparkSession
     import spark.implicits._
 
