@@ -413,6 +413,22 @@ object SparkEntry {
     // against the dataset watermark — closed-set deterministic (reference
     // time = global max ts, never the wall clock), whole-second floors on
     // both sides so the oracle agrees bit-for-bit
+    // volume-anomaly check over daily batch counts (DESIGN.md:598): day 15
+    // is inflated ×5 deterministically so the z-gate has a true positive;
+    // the first `trailing` days must stay unjudged (null z, flag false)
+    "q_volume_anomaly" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day")).count()
+        .select(col("day"),
+          when(col("day").endsWith("-15"), col("count") * 5)
+            .otherwise(col("count")).as("n_rows"))
+      graft.suite.Monitoring.volumeAnomaly(daily, "day", "n_rows")
+        .select(col("day"), col("n").cast("long").as("n_rows"),
+          r(col("hist_mean")).as("hist_mean"), r(col("hist_std")).as("hist_std"),
+          r(col("z")).as("z"), col("volume_anomaly"))
+        .orderBy("day")
+    }),
+
     "q_freshness" -> ((s, dir) => {
       graft.suite.Monitoring.freshness(
         Tables.events(s, dir), "ts", Seq("event_type"), thresholdSec = 86400L)
@@ -1420,6 +1436,29 @@ object SparkEntry {
     // NOTE: floor(epoch(..)) not CAST(epoch(..) AS BIGINT) — DuckDB's
     // double->bigint cast ROUNDS the fractional second while Spark's
     // unix_timestamp FLOORS it (off-by-one whenever fraction >= 0.5)
+    // same 7-row trailing frame, same full-history + positive-std gates
+    "q_volume_anomaly" ->
+      """WITH daily AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS day,
+                  CASE WHEN strftime(ts, '%Y-%m-%d') LIKE '%-15'
+                       THEN count(*) * 5 ELSE count(*) END AS n_rows
+           FROM events GROUP BY 1),
+         win AS (
+           SELECT day, CAST(n_rows AS DOUBLE) AS n,
+                  count(*) OVER f AS hist_n,
+                  avg(CAST(n_rows AS DOUBLE)) OVER f AS hist_mean,
+                  stddev_samp(CAST(n_rows AS DOUBLE)) OVER f AS hist_std
+           FROM daily
+           WINDOW f AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT day, CAST(n AS BIGINT) AS n_rows,
+                round(hist_mean, 4) AS hist_mean, round(hist_std, 4) AS hist_std,
+                round(CASE WHEN hist_n >= 7 AND hist_std > 0
+                      THEN (n - hist_mean) / hist_std END, 4) AS z,
+                coalesce(abs(CASE WHEN hist_n >= 7 AND hist_std > 0
+                             THEN (n - hist_mean) / hist_std END) > 3.0,
+                         false) AS volume_anomaly
+         FROM win ORDER BY day""",
+
     "q_freshness" ->
       """WITH wm AS (SELECT max(ts) AS w FROM events)
          SELECT event_type, max(ts) AS last_seen,

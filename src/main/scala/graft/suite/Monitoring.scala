@@ -1,14 +1,15 @@
 package graft.suite
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-monitoring metrics (reference DESIGN.md:598-602: volume, schema
-  * violations, quality scores, freshness/timeliness). Volume and quality
-  * already ride the suite (lineage rows carry rows + wall_ms per batch —
-  * records/second is a division; quality_score is a verdict row; schema
-  * violations are the [[SchemaCheck]] verdict). This module adds the
-  * remaining metric, freshness, as a standalone operator.
+  * violations, quality scores, freshness/timeliness). Quality is a suite
+  * verdict row and schema violations are the [[SchemaCheck]] verdict; this
+  * module adds the other two as standalone operators — freshness (per-group
+  * staleness vs the dataset watermark) and the volume ANOMALY check (the
+  * lineage rows record per-batch counts but render no verdict).
   */
 object Monitoring {
 
@@ -26,6 +27,39 @@ object Monitoring {
     * broadcast of the single-row watermark — no shuffle wider than the
     * group-key count, no window, nothing driver-side.
     */
+  /** Volume-anomaly check (DESIGN.md:598 "volume" — the last monitoring
+    * metric without a pass/fail form; the suite's lineage rows record
+    * counts but render no verdict): each batch's row count z-scored
+    * against the TRAILING `trailing` batches' mean/std.
+    *
+    * Semantics pinned: a batch with fewer than `trailing` predecessors
+    * has insufficient history — `z` is NULL and the flag false (never
+    * judge against a window the operator hasn't seen in full); a zero or
+    * undefined trailing std likewise yields NULL z (a constant history
+    * makes any deviation infinite-z — flagging there is a policy choice,
+    * not statistics, so it is left to the caller's threshold on `n`).
+    *
+    * Scale note: the input is BATCH-LEVEL metadata (one row per committed
+    * batch/day — thousands of rows at years of history), so the single
+    * ordered window here is metadata-scale by construction, the same
+    * size-class argument as the pre-flight schema gate; the engine-wide
+    * "no partition-less window" rule targets row-scale data.
+    */
+  def volumeAnomaly(counts: DataFrame, orderCol: String, countCol: String,
+                    trailing: Int = 7, zThreshold: Double = 3.0): DataFrame = {
+    require(trailing >= 2, s"trailing window must be >= 2, got $trailing")
+    val w = Window.orderBy(col(orderCol)).rowsBetween(-trailing, -1)
+    counts
+      .select(col(orderCol), col(countCol).cast("double").as("n"))
+      .withColumn("hist_n", count(col("n")).over(w))
+      .withColumn("hist_mean", avg(col("n")).over(w))
+      .withColumn("hist_std", stddev_samp(col("n")).over(w))
+      .withColumn("z", when(col("hist_n") >= trailing && col("hist_std") > 0,
+        (col("n") - col("hist_mean")) / col("hist_std")))
+      .withColumn("volume_anomaly", coalesce(abs(col("z")) > zThreshold, lit(false)))
+      .drop("hist_n")
+  }
+
   def freshness(df: DataFrame, tsCol: String, groupCols: Seq[String],
                 thresholdSec: Long): DataFrame = {
     val wm = df.agg(max(col(tsCol)).as("_watermark"))

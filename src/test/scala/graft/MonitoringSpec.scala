@@ -30,6 +30,35 @@ class MonitoringSpec extends GraftSpec {
     assert(loose("b") && !loose("c"))
   }
 
+  test("volume anomaly: spike flagged, insufficient history and constant history unjudged") {
+    val counts = ((1 to 10).map(d => (f"2024-01-$d%02d", 100L)) :+
+      ("2024-01-11", 1000L)) :+ ("2024-01-12", 103L)
+    val df = Monitoring.volumeAnomaly(
+      counts.toDF("day", "n_rows"), "day", "n_rows", trailing = 7, zThreshold = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5))).toMap
+    // first 7 days: no full trailing window → null z, never flagged
+    (1 to 7).foreach(d => assert(df(f"2024-01-$d%02d") == (None, false)))
+    // days 8-10: full history but constant (std 0) → unjudged by design
+    (8 to 10).foreach(d => assert(df(f"2024-01-$d%02d") == (None, false)))
+    // day 11: 1000 vs flat-100 history — still std 0 → unjudged
+    assert(df("2024-01-11") == (None, false))
+    // day 12: history now has variance (the spike is IN the window) and
+    // 103 is close to most of it → judged, not anomalous
+    assert(df("2024-01-12")._1.isDefined && !df("2024-01-12")._2)
+  }
+
+  test("volume anomaly: true spike against noisy history is flagged, normal day is not") {
+    val noisy = Seq(100L, 104L, 97L, 101L, 99L, 103L, 98L).zipWithIndex
+      .map { case (n, i) => (f"2024-02-${i + 1}%02d", n) } ++
+      Seq(("2024-02-08", 500L), ("2024-02-09", 101L))
+    val df = Monitoring.volumeAnomaly(
+      noisy.toDF("day", "n_rows"), "day", "n_rows", trailing = 7)
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(df("2024-02-08"), "spike not flagged")
+    assert(!df("2024-02-01") && !df("2024-02-07"))
+  }
+
   test("partitioning invariance (closed-set determinism)") {
     val base = Monitoring.freshness(events, "ts", Seq("event_type"), 86400L)
       .orderBy("event_type").collect().toSeq
