@@ -8,7 +8,7 @@ import graft.dedup.{Components, Contamination, Dedup, Semantic}
 import graft.drift.{Drift, GroupDrift, KsTest}
 import graft.sample.Sampling
 import graft.sim.{Ann, Ivf}
-import graft.stats.{Sketches, Stats}
+import graft.stats.{Outliers, Profile, Sketches, Stats}
 import graft.text.{Repetition, TextAnalysis}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -413,6 +413,37 @@ object SparkEntry {
     // against the dataset watermark — closed-set deterministic (reference
     // time = global max ts, never the wall clock), whole-second floors on
     // both sides so the oracle agrees bit-for-bit
+    // row-level outlier flags (Tukey fences + z-score) over events.value,
+    // rolled up to counts + fences; the flagged-row ids are cross-checked
+    // by the oracle re-deriving the same fences from quantile_cont
+    "q_outliers" -> ((s, dir) => {
+      val f = Outliers.flag(Tables.events(s, dir), "value")
+      f.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("is_outlier_iqr"), 1L).otherwise(0L)).as("n_iqr"),
+        sum(when(col("is_outlier_z"), 1L).otherwise(0L)).as("n_z"),
+        r(min("lo_fence")).as("lo_fence"), r(max("hi_fence")).as("hi_fence"),
+        sum(when(col("is_outlier_iqr"), col("event_id")).otherwise(0L))
+          .as("iqr_id_sum"))
+    }),
+
+    // Deequ-style column profiler (Schelter et al. VLDB 2018 analyzers):
+    // three columns of very different cardinality (5-value categorical,
+    // mid-card user_id, all-unique event_id) share one melted shuffle;
+    // integer/string columns only so the string rendering is
+    // engine-stable (see Profile scaladoc)
+    "q_column_profile" -> ((s, dir) => {
+      Profile.profile(Tables.events(s, dir),
+        Seq("event_type", "user_id", "event_id"))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          r(col("completeness")).as("completeness"), col("n_distinct"),
+          r(col("distinctness")).as("distinctness"), col("n_unique"),
+          r(col("uniqueness")).as("uniqueness"),
+          r(col("unique_ratio")).as("unique_ratio"),
+          r(col("entropy")).as("entropy"), col("top_value"),
+          r(col("top_ratio")).as("top_ratio"))
+        .orderBy("col_name")
+    }),
+
     // volume-anomaly check over daily batch counts (DESIGN.md:598): day 15
     // is inflated ×5 deterministically so the z-gate has a true positive;
     // the first `trailing` days must stay unjudged (null z, flag false)
@@ -1436,6 +1467,60 @@ object SparkEntry {
     // NOTE: floor(epoch(..)) not CAST(epoch(..) AS BIGINT) — DuckDB's
     // double->bigint cast ROUNDS the fractional second while Spark's
     // unix_timestamp FLOORS it (off-by-one whenever fraction >= 0.5)
+    // fences from quantile_cont (the same exact interpolated percentile),
+    // flagged-set identity pinned by the event_id checksum
+    "q_outliers" ->
+      """WITH b AS (SELECT quantile_cont(value, 0.25) AS q1,
+                           quantile_cont(value, 0.75) AS q3,
+                           avg(value) AS mu, stddev_samp(value) AS sigma
+                    FROM events),
+         f AS (SELECT e.event_id, e.value,
+                      b.q1 - 1.5 * (b.q3 - b.q1) AS lo,
+                      b.q3 + 1.5 * (b.q3 - b.q1) AS hi,
+                      (e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+                       OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)) AS oi,
+                      abs((e.value - b.mu) / b.sigma) > 3.0 AS oz
+               FROM events e, b)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN oi THEN 1 ELSE 0 END) AS BIGINT) AS n_iqr,
+                CAST(sum(CASE WHEN oz THEN 1 ELSE 0 END) AS BIGINT) AS n_z,
+                round(min(lo), 4) AS lo_fence, round(max(hi), 4) AS hi_fence,
+                CAST(sum(CASE WHEN oi THEN event_id ELSE 0 END) AS BIGINT)
+                  AS iqr_id_sum
+         FROM f""",
+
+    // every analyzer re-derived from a UNION-melt of the same columns:
+    // identical value counts, the same ln N − Σc·ln c / N entropy
+    // identity, the same (cnt desc, v desc) top-value tie-break
+    "q_column_profile" ->
+      """WITH c AS (
+           SELECT 'event_type' AS col_name, event_type::VARCHAR AS v FROM events
+           UNION ALL SELECT 'user_id', user_id::VARCHAR FROM events
+           UNION ALL SELECT 'event_id', event_id::VARCHAR FROM events),
+         cnts AS (SELECT col_name, v, count(*) AS cnt FROM c GROUP BY 1, 2),
+         agg AS (SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_nulls,
+                   CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct,
+                   CAST(sum(CASE WHEN v IS NOT NULL AND cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+                   sum(CASE WHEN v IS NOT NULL THEN cnt * ln(cnt) ELSE 0 END) AS clc
+                 FROM cnts GROUP BY 1),
+         top AS (SELECT col_name, v AS top_value, cnt AS tc
+                 FROM cnts WHERE v IS NOT NULL
+                 QUALIFY row_number() OVER (PARTITION BY col_name
+                                            ORDER BY cnt DESC, v DESC) = 1)
+         SELECT a.col_name, a.n_rows, a.n_nulls,
+                round((a.n_rows - a.n_nulls)::DOUBLE / a.n_rows, 4) AS completeness,
+                a.n_distinct,
+                round(a.n_distinct::DOUBLE / (a.n_rows - a.n_nulls), 4) AS distinctness,
+                a.n_unique,
+                round(a.n_unique::DOUBLE / (a.n_rows - a.n_nulls), 4) AS uniqueness,
+                round(a.n_unique::DOUBLE / a.n_distinct, 4) AS unique_ratio,
+                round(ln((a.n_rows - a.n_nulls)::DOUBLE)
+                      - a.clc / (a.n_rows - a.n_nulls), 4) AS entropy,
+                t.top_value,
+                round(t.tc::DOUBLE / (a.n_rows - a.n_nulls), 4) AS top_ratio
+         FROM agg a JOIN top t USING (col_name) ORDER BY col_name""",
+
     // same 7-row trailing frame, same full-history + positive-std gates
     "q_volume_anomaly" ->
       """WITH daily AS (
