@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.constraints.Constraints
 import graft.dedup.{Components, Contamination, Dedup, Semantic}
 import graft.drift.{Drift, GroupDrift, KsTest}
 import graft.sample.Sampling
@@ -413,6 +414,21 @@ object SparkEntry {
     // against the dataset watermark — closed-set deterministic (reference
     // time = global max ts, never the wall clock), whole-second floors on
     // both sides so the oracle agrees bit-for-bit
+    // functional-dependency constraint: user_id → event_type is violated
+    // (users emit many types — every violating determinant listed with its
+    // distinct-rhs and row weights), event_id → event_type holds (the
+    // passed flag rides every row so the satisfied case is gate-covered)
+    "q_fd_check" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val viol = Constraints.functionalDependency(
+        ev, Seq("user_id"), Seq("event_type"), cap = 1000)
+      val sat = Constraints.functionalDependency(
+        ev, Seq("event_id"), Seq("event_type"), cap = 10)
+      viol.violations
+        .withColumn("id_fd_passed", lit(sat.passed))
+        .orderBy("user_id")
+    }),
+
     // row-level outlier flags (Tukey fences + z-score) over events.value,
     // rolled up to counts + fences; the flagged-row ids are cross-checked
     // by the oracle re-deriving the same fences from quantile_cont
@@ -1467,6 +1483,20 @@ object SparkEntry {
     // NOTE: floor(epoch(..)) not CAST(epoch(..) AS BIGINT) — DuckDB's
     // double->bigint cast ROUNDS the fractional second while Spark's
     // unix_timestamp FLOORS it (off-by-one whenever fraction >= 0.5)
+    // same exact two-phase distinct-rhs derivation for both dependencies
+    "q_fd_check" ->
+      """WITH pairs AS (SELECT user_id, event_type, count(*) AS r
+                        FROM events GROUP BY 1, 2),
+         bad AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rhs_values,
+                        CAST(sum(r) AS BIGINT) AS n_rows
+                 FROM pairs GROUP BY 1 HAVING count(*) > 1),
+         idfd AS (SELECT count(*) = 0 AS p FROM (
+                    SELECT event_id FROM (SELECT event_id, event_type
+                                          FROM events GROUP BY 1, 2)
+                    GROUP BY 1 HAVING count(*) > 1))
+         SELECT b.user_id, b.n_rhs_values, b.n_rows, idfd.p AS id_fd_passed
+         FROM bad b, idfd ORDER BY user_id""",
+
     // fences from quantile_cont (the same exact interpolated percentile),
     // flagged-set identity pinned by the event_id checksum
     "q_outliers" ->
