@@ -414,6 +414,30 @@ object SparkEntry {
     // against the dataset watermark — closed-set deterministic (reference
     // time = global max ts, never the wall clock), whole-second floors on
     // both sides so the oracle agrees bit-for-bit
+    // gap-based sessionization (1h gap) rolled up to session rows —
+    // three users keep the output bounded while exercising hundreds of
+    // real session breaks per user at every SF
+    "q_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id") < 3)
+      graft.streaming.Sessionize.sessionize(ev, "user_id", "ts", 3600.0)
+        .groupBy("user_id", "session_index")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"), max("ts").as("session_end"))
+        .orderBy("user_id", "session_index")
+    }),
+
+    // novel-category detection: values never seen in the baseline side,
+    // planted deterministically (every 97th odd doc gets a '-new' lang
+    // suffix; odd docs are the current side) so the check has true
+    // positives at every SF while real langs appear on both sides
+    "q_novel_categories" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("lang2",
+        when(col("doc_id") % 97 === 0 && col("doc_id") % 2 === 1,
+          concat(col("lang"), lit("-new"))).otherwise(col("lang")))
+      GroupDrift.novelCategories(d, "lang2", col("doc_id") % 2 === 0)
+        .orderBy("value")
+    }),
+
     // functional-dependency constraint: user_id → event_type is violated
     // (users emit many types — every violating determinant listed with its
     // distinct-rhs and row weights), event_id → event_type holds (the
@@ -1483,6 +1507,35 @@ object SparkEntry {
     // NOTE: floor(epoch(..)) not CAST(epoch(..) AS BIGINT) — DuckDB's
     // double->bigint cast ROUNDS the fractional second while Spark's
     // unix_timestamp FLOORS it (off-by-one whenever fraction >= 0.5)
+    // same strict-gap break rule over fractional epoch seconds
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, epoch(ts) AS sec FROM events
+                    WHERE user_id < 3),
+         b AS (SELECT user_id, ts,
+                 CASE WHEN lag(sec) OVER w IS NULL
+                        OR sec - lag(sec) OVER w > 3600.0 THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_index
+               FROM b)
+         SELECT user_id, CAST(session_index AS BIGINT) AS session_index,
+                CAST(count(*) AS BIGINT) AS n_events,
+                min(ts) AS session_start, max(ts) AS session_end
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_novel_categories" ->
+      """WITH d AS (SELECT CASE WHEN doc_id % 97 = 0 AND doc_id % 2 = 1
+                           THEN lang || '-new' ELSE lang END AS v,
+                           doc_id % 2 = 0 AS b
+                    FROM documents WHERE lang IS NOT NULL)
+         SELECT v AS value,
+                CAST(sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+         FROM d GROUP BY 1
+         HAVING sum(CASE WHEN b THEN 1 ELSE 0 END) = 0
+            AND sum(CASE WHEN NOT b THEN 1 ELSE 0 END) >= 1
+         ORDER BY 1""",
+
     // same exact two-phase distinct-rhs derivation for both dependencies
     "q_fd_check" ->
       """WITH pairs AS (SELECT user_id, event_type, count(*) AS r

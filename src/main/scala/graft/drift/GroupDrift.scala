@@ -36,6 +36,29 @@ object GroupDrift {
 
   val OtherGroup = "__other__"
 
+  /** Novel-category detection — the categorical analog of the schema gate:
+    * values present on the current side but NEVER seen in the baseline
+    * (a new `lang` string, a new event type). Chi-square/PSI react to a
+    * novel category only through mass shift; this names the values
+    * directly, with counts, which is what an alert needs.
+    *
+    * One map-side-combined groupBy over both sides together (the melted
+    * s1/s2 trick — never two scans), then a filter on the grouped table:
+    * baseline count 0 ∧ current count ≥ `minCount`. NULL values excluded
+    * (a null is a completeness violation, not a category); NULL conditions
+    * sit on neither side (A30). Output `(value, n_cur)` — bounded by the
+    * column's NOVEL cardinality, and `minCount` guards against a tail of
+    * singleton typos at 10^12 rows.
+    */
+  def novelCategories(df: DataFrame, catCol: String, isBaseline: Column,
+                      minCount: Long = 1L): DataFrame =
+    df.where(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("value"))
+      .agg(sum(when(isBaseline, 1L).otherwise(0L)).as("n_base"),
+        sum(when(!isBaseline, 1L).otherwise(0L)).as("n_cur"))
+      .where(col("n_base") === 0L && col("n_cur") >= minCount)
+      .select("value", "n_cur")
+
   def ksMeanByGroup(df: DataFrame, groupCol: String, valueCol: String,
                     isBaseline: Column, maxGroups: Int = 64,
                     alpha: Double = 0.05): DataFrame = {

@@ -1,0 +1,71 @@
+package graft
+
+import graft.streaming.Sessionize
+import graft.drift.GroupDrift
+import org.apache.spark.sql.functions._
+
+/** Laws for sessionization and novel-category detection. */
+class SessionizeSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def ev(rows: (String, String)*) =
+    rows.toSeq.toDF("u", "t").select(col("u"), to_timestamp(col("t")).as("ts"))
+
+  test("strict-gap rule: exact gap continues the session, beyond it breaks") {
+    val df = ev(
+      ("a", "2024-01-01 00:00:00"),
+      ("a", "2024-01-01 01:00:00"),   // gap exactly 3600 → same session
+      ("a", "2024-01-01 02:00:01"),   // gap 3601 → new session
+      ("a", "2024-01-01 02:30:00"))
+    val idx = Sessionize.sessionize(df, "u", "ts", 3600.0)
+      .orderBy("ts").select("session_index").as[Long].collect().toSeq
+    assert(idx === Seq(0L, 0L, 1L, 1L))
+  }
+
+  test("sub-second gaps resolve at microsecond precision, never floored") {
+    val df = ev(
+      ("a", "2024-01-01 00:00:00.0"),
+      ("a", "2024-01-01 00:00:01.5"),  // gap 1.5 s > 1.0 → break
+      ("a", "2024-01-01 00:00:02.4"))  // gap 0.9 s → continue
+    val idx = Sessionize.sessionize(df, "u", "ts", 1.0)
+      .orderBy("ts").select("session_index").as[Long].collect().toSeq
+    assert(idx === Seq(0L, 1L, 1L))
+  }
+
+  test("keys sessionize independently; result is partitioning-invariant") {
+    val df = ev(
+      ("a", "2024-01-01 00:00:00"), ("b", "2024-01-01 00:00:00"),
+      ("a", "2024-01-01 09:00:00"), ("b", "2024-01-01 00:30:00"))
+    val base = Sessionize.sessionize(df, "u", "ts", 3600.0)
+      .orderBy("u", "ts").collect().toSeq
+    val reparted = Sessionize.sessionize(df.repartition(7), "u", "ts", 3600.0)
+      .orderBy("u", "ts").collect().toSeq
+    assert(base === reparted)
+    val byKey = base.map(r => (r.getString(0), r.getLong(2)))
+    assert(byKey === Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 0L)))
+  }
+
+  test("novel categories: only never-in-baseline values, minCount cuts the tail") {
+    val df = Seq(
+      ("en", true), ("en", false), ("de", true),
+      ("xx", false), ("xx", false), ("yy", false)
+    ).toDF("lang", "b")
+    val all = GroupDrift.novelCategories(df, "lang", col("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all === Map("xx" -> 2L, "yy" -> 1L))   // en/de seen in baseline
+    val cut = GroupDrift.novelCategories(df, "lang", col("b"), minCount = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(cut === Seq("xx"))
+  }
+
+  test("novel categories: null values and null conditions excluded") {
+    val df = Seq(
+      (Some("en"), Some(true)), (Some("zz"), Some(false)),
+      (None, Some(false)),                    // null value → not a category
+      (Some("qq"), None)                      // null condition → neither side
+    ).toDF("lang", "b")
+    val out = GroupDrift.novelCategories(df, "lang", col("b"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("zz"))
+  }
+}
