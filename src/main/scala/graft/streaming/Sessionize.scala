@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   *
   * Semantics pinned: events are time-ordered WITHIN each key; a new
   * session starts when the gap since the previous event strictly EXCEEDS
-  * `gapSec` (an exact-gap event continues the session). Gaps are measured
+  * `gapSec` (an exact-gap event continues the session — which is ALSO
+  * what `session_window` does: parity and the boundary case are both
+  * spec-asserted against the built-in). Gaps are measured
   * in fractional epoch seconds (microsecond precision — never
   * whole-second floors, which would merge sub-second bursts across a
   * boundary). `session_index` is 0-based per key. Rows with equal

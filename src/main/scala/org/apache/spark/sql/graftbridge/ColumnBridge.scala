@@ -11,4 +11,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER conversion of a Column tree to a Catalyst expression tree.
+    * [[expression]] wraps lazily (`ColumnNodeExpression`) and relies on
+    * Dataset analysis to convert — which never runs inside a
+    * FunctionRegistry builder, so SQL-registered functions built from
+    * Column compositions would reach the analyzer as unresolved VOID
+    * nodes. This converts through the classic converter immediately;
+    * the resulting `UnresolvedFunction` nodes resolve during normal SQL
+    * analysis.
+    */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

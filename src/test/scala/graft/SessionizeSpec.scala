@@ -45,6 +45,36 @@ class SessionizeSpec extends GraftSpec {
     assert(byKey === Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 0L)))
   }
 
+  test("parity with Spark's built-in session_window away from exact-gap boundaries") {
+    // 40 events across 2 users with gaps of 600 s or 7200 s — never exactly
+    // the 3600 s gap, so both semantics agree on every break
+    val rows = for (u <- Seq("a", "b"); i <- 0 until 20) yield {
+      val off = (0 until i).map(j => if (j % 5 == 4) 7200L else 600L).sum
+      (u, new java.sql.Timestamp(1704067200000L + off * 1000L +
+        (if (u == "b") 43L * 86400000L else 0L)))
+    }
+    val df = rows.toDF("u", "ts")
+    val ours = Sessionize.sessionize(df, "u", "ts", 3600.0)
+      .groupBy("u", "session_index").count()
+      .orderBy("u", "session_index").select("count").as[Long].collect().toSeq
+    val builtin = df.groupBy(col("u"), session_window(col("ts"), "3600 seconds"))
+      .count().orderBy(col("u"), col("session_window.start"))
+      .select("count").as[Long].collect().toSeq
+    assert(ours === builtin)
+  }
+
+  test("exact-gap boundary agrees with session_window: both merge") {
+    // gap EXACTLY 3600 s: our strict-> rule continues the session, and
+    // Spark's session_window also merges an event landing exactly on the
+    // window end — the two semantics coincide even at the boundary
+    val df = ev(("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 01:00:00"))
+    val ourSessions = Sessionize.sessionize(df, "u", "ts", 3600.0)
+      .select(max("session_index")).as[Long].collect().head + 1
+    val builtinSessions = df
+      .groupBy(session_window(col("ts"), "3600 seconds")).count().count()
+    assert(ourSessions === 1L && builtinSessions === 1L)
+  }
+
   test("novel categories: only never-in-baseline values, minCount cuts the tail") {
     val df = Seq(
       ("en", true), ("en", false), ("de", true),
