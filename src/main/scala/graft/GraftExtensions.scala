@@ -31,9 +31,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
-  private def col1(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+  private def col1(name: String,
+                   f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
       : Seq[Expression] => Expression =
-    args => ColumnBridge.expressionEager(f(ColumnBridge.column(args.head)))
+    args => {
+      // arity-checked here: a builder sees raw args, and silently using
+      // args.head would make extra arguments vanish (wrong-looking-right)
+      // and zero arguments die with a bare NoSuchElementException
+      if (args.size != 1) throw new IllegalArgumentException(
+        s"$name expects exactly 1 argument, got ${args.size}")
+      ColumnBridge.expressionEager(f(ColumnBridge.column(args.head)))
+    }
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "")
@@ -42,16 +50,16 @@ object GraftFunctions {
   val all: Seq[(String, ExpressionInfo,  Seq[Expression] => Expression)] = Seq(
     ("graft_token_count", info("graft_token_count",
       "_FUNC_(text) - whitespace token count, 0 for blank/null-safe"),
-      col1(TextAnalysis.tokenCount)),
+      col1("graft_token_count", TextAnalysis.tokenCount)),
     ("graft_lang_id", info("graft_lang_id",
       "_FUNC_(text) - stopword-heuristic language id over {en,es,de,fr,zh}"),
-      col1(TextAnalysis.langId)),
+      col1("graft_lang_id", TextAnalysis.langId)),
     ("graft_quality_score", info("graft_quality_score",
       "_FUNC_(text) - pinned quality score in [0,1]"),
-      col1(TextAnalysis.qualityScore)),
+      col1("graft_quality_score", TextAnalysis.qualityScore)),
     ("graft_fingerprint64", info("graft_fingerprint64",
       "_FUNC_(text) - xxhash64 of normalized text (dedup key)"),
-      col1(TextAnalysis.fingerprint64)),
+      col1("graft_fingerprint64", TextAnalysis.fingerprint64)),
     ("graft_repetition_stats", info("graft_repetition_stats",
       "_FUNC_(text[, n]) - struct(dup_line_frac, dup_line_char_frac, " +
         "top_ngram_char_frac), Gopher repetition rules (n defaults to 2)"),

@@ -439,11 +439,14 @@ object SparkEntry {
     }),
 
     // functional-dependency constraint: user_id → event_type is violated
-    // (users emit many types — every violating determinant listed with its
-    // distinct-rhs and row weights), event_id → event_type holds (the
-    // passed flag rides every row so the satisfied case is gate-covered)
+    // (users emit many types), event_id → event_type holds (the passed
+    // flag rides every row so the satisfied case is gate-covered). The
+    // input is bounded to user_id < 120 so the determinant count can
+    // never exceed the operator's sample cap at ANY SF (sf0.1 has 1500
+    // violating users — an uncapped dump there would silently truncate
+    // against the oracle's full list)
     "q_fd_check" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
+      val ev = Tables.events(s, dir).where(col("user_id") < 120)
       val viol = Constraints.functionalDependency(
         ev, Seq("user_id"), Seq("event_type"), cap = 1000)
       val sat = Constraints.functionalDependency(
@@ -1538,14 +1541,15 @@ object SparkEntry {
 
     // same exact two-phase distinct-rhs derivation for both dependencies
     "q_fd_check" ->
-      """WITH pairs AS (SELECT user_id, event_type, count(*) AS r
-                        FROM events GROUP BY 1, 2),
+      """WITH ev AS (SELECT * FROM events WHERE user_id < 120),
+         pairs AS (SELECT user_id, event_type, count(*) AS r
+                   FROM ev GROUP BY 1, 2),
          bad AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rhs_values,
                         CAST(sum(r) AS BIGINT) AS n_rows
                  FROM pairs GROUP BY 1 HAVING count(*) > 1),
          idfd AS (SELECT count(*) = 0 AS p FROM (
                     SELECT event_id FROM (SELECT event_id, event_type
-                                          FROM events GROUP BY 1, 2)
+                                          FROM ev GROUP BY 1, 2)
                     GROUP BY 1 HAVING count(*) > 1))
          SELECT b.user_id, b.n_rhs_values, b.n_rows, idfd.p AS id_fd_passed
          FROM bad b, idfd ORDER BY user_id""",
@@ -1562,7 +1566,8 @@ object SparkEntry {
                       b.q3 + 1.5 * (b.q3 - b.q1) AS hi,
                       (e.value < b.q1 - 1.5 * (b.q3 - b.q1)
                        OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)) AS oi,
-                      abs((e.value - b.mu) / b.sigma) > 3.0 AS oz
+                      CASE WHEN b.sigma IS NULL OR b.sigma <= 0 THEN false
+                           ELSE abs((e.value - b.mu) / b.sigma) > 3.0 END AS oz
                FROM events e, b)
          SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CASE WHEN oi THEN 1 ELSE 0 END) AS BIGINT) AS n_iqr,
@@ -1788,7 +1793,8 @@ object SparkEntry {
                   l_extendedprice AS v,
                   CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS s1
            FROM lineitem WHERE l_returnflag IS NOT NULL
-             AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+             AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+             AND l_shipdate IS NOT NULL),
          cnt AS (SELECT g, v, sum(s1) c1, sum(1 - s1) c2 FROM clean GROUP BY 1, 2),
          cum AS (SELECT g,
                    CAST(sum(c1) OVER (PARTITION BY g ORDER BY v) AS DOUBLE) cum1,

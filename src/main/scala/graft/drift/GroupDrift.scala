@@ -85,12 +85,19 @@ object GroupDrift {
     // lanes = groups through the shared two-phase KS machinery
     val laneDf = broadcast(names.zipWithIndex.map { case (n, i) => (n, i) }
       .toDF("g", "cid"))
+    // persisted for the same reason ks2SampMulti persists: the machinery
+    // runs a boundary-percentile collect over counts and then the final
+    // max-gap job re-reads it — unpersisted, the full melt+join+groupBy
+    // would recompute for each
     val counts = clean.join(laneDf, Seq("g"))
       .groupBy("cid", "v").agg(sum("s1").as("c1"), sum("s2").as("c2"))
-    val ksByLane = KsTest.ksMaxGapFromCounts(counts, 32).collect()
-      .map(r => r.getInt(0) ->
-        ((if (r.isNullAt(1)) 0.0 else r.getDouble(1)), r.getLong(2), r.getLong(3)))
-      .toMap
+      .persist()
+    val ksByLane =
+      try KsTest.ksMaxGapFromCounts(counts, 32).collect()
+        .map(r => r.getInt(0) ->
+          ((if (r.isNullAt(1)) 0.0 else r.getDouble(1)), r.getLong(2), r.getLong(3)))
+        .toMap
+      finally counts.unpersist()
 
     // one conditional aggregation for means/stds (bounded: ≤ maxGroups+1 rows)
     val mRows = clean

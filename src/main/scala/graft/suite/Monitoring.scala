@@ -13,20 +13,6 @@ import org.apache.spark.sql.functions._
   */
 object Monitoring {
 
-  /** Freshness/timeliness per group (DESIGN.md:602): how stale is each
-    * group's most recent event relative to the dataset watermark?
-    *
-    * The reference time is the GLOBAL max timestamp, not the wall clock —
-    * a closed batch must produce the same verdict on every run (the T3
-    * closed-set principle), and at deploy the caller passes the stream's
-    * watermark through unchanged semantics. Staleness is compared in
-    * whole epoch seconds (floor on both sides, so an external recompute
-    * over the same parquet agrees bit-for-bit).
-    *
-    * Shape at scale: one map-side-combined max aggregate per group plus a
-    * broadcast of the single-row watermark — no shuffle wider than the
-    * group-key count, no window, nothing driver-side.
-    */
   /** Volume-anomaly check (DESIGN.md:598 "volume" — the last monitoring
     * metric without a pass/fail form; the suite's lineage rows record
     * counts but render no verdict): each batch's row count z-scored
@@ -60,6 +46,20 @@ object Monitoring {
       .drop("hist_n")
   }
 
+  /** Freshness/timeliness per group (DESIGN.md:602): how stale is each
+    * group's most recent event relative to the dataset watermark?
+    *
+    * The reference time is the GLOBAL max timestamp, not the wall clock —
+    * a closed batch must produce the same verdict on every run (the T3
+    * closed-set principle), and at deploy the caller passes the stream's
+    * watermark through unchanged semantics. Staleness is compared in
+    * whole epoch seconds (floor on both sides, so an external recompute
+    * over the same parquet agrees bit-for-bit).
+    *
+    * Shape at scale: one map-side-combined max aggregate per group plus a
+    * broadcast of the single-row watermark — no shuffle wider than the
+    * group-key count, no window, nothing driver-side.
+    */
   def freshness(df: DataFrame, tsCol: String, groupCols: Seq[String],
                 thresholdSec: Long): DataFrame = {
     val wm = df.agg(max(col(tsCol)).as("_watermark"))

@@ -28,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the count). `(L - D) / L` for L kept lines, D distinct; 0.0 when no
   *    lines survive.
   *  - `dup_line_char_frac` — the same beyond-the-first occurrences
-  *    weighted by trimmed line length: Σ(count−1)·len / Σ count·len.
+  *    weighted by trimmed line length in CODE POINTS (SQL `length()`
+  *    semantics, not UTF-16 units): Σ(count−1)·len / Σ count·len.
   *  - `top_ngram_char_frac` — over word `n`-grams of the NORMALIZED text
   *    ([[TextAnalysis.normalize]]: lowercase, non-alphanumeric runs → one
   *    space, trim), the maximum of count(g)·chars(g) divided by the
@@ -91,10 +92,15 @@ object RepetitionKernel {
         val line = trimSpaces(rs.substring(start, i))
         if (line.nonEmpty) {
           kept += 1
-          totalChars += line.length
+          // CODE POINTS, not UTF-16 units — SQL length() counts code
+          // points, and a supplementary-plane char would otherwise break
+          // the bit-for-bit oracle parity (the normalized n-gram side is
+          // ASCII-only by construction, so String.length is safe there)
+          val cp = line.codePointCount(0, line.length)
+          totalChars += cp
           val prev = lineCnt.merge(line, Integer.valueOf(1),
             (a, b) => Integer.valueOf(a.intValue() + b.intValue()))
-          if (prev.intValue() > 1) { dupLines += 1; dupChars += line.length }
+          if (prev.intValue() > 1) { dupLines += 1; dupChars += cp }
         }
         start = i + 1
       }

@@ -43,9 +43,11 @@ class GroupDriftSpec extends GraftSpec {
   }
 
   test("groups beyond maxGroups lump into __other__ with total coverage") {
+    // sizes genuinely differ (g0 150 > g1 100 > g2 50) so the maxGroups=2
+    // cut exercises the BY-COUNT selection, not just the name tie-break
     val df = (0 until 300).map { i =>
-      val g = s"g${i % 3}"                    // g0 biggest, then g1, g2
-      (if (i % 3 == 0 || i < 200) g else g, i.toDouble, i % 2 == 0)
+      val g = if (i < 150) "g0" else if (i < 250) "g1" else "g2"
+      (g, i.toDouble, i % 2 == 0)
     }.toDF("g", "v", "b")
     val out = GroupDrift.ksMeanByGroup(df, "g", "v", col("b"), maxGroups = 2)
       .collect().map(r => r.getString(0) -> (r.getLong(6) + r.getLong(7))).toMap
