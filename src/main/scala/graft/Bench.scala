@@ -103,6 +103,35 @@ object Bench {
       }
     }
 
+    // ---- stratified drift at FULL bench scale ----
+    // the per-operator queries above run on the small sf tables; GroupDrift
+    // is a suite-class operator, so it gets a leg over the same 8M code
+    // table the suite validates (per-lang content-length KS + mean shift,
+    // batch 0 as baseline) — cold + warm like every other leg
+    val groupDriftTimes = {
+      import org.apache.spark.sql.functions._
+      def once(): Double = {
+        spark.catalog.clearCache()
+        try time {
+          drift.GroupDrift.ksMeanByGroup(
+            spark.read.parquet(benchInput)
+              .select(col("lang"),
+                length(col("content")).cast("double").as("len"),
+                col("batch_id")),
+            "lang", "len", col("batch_id") === 0)
+            .write.mode("overwrite").format("noop").save()
+        } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"BENCH WARNING: group_drift_8m failed with ${e.getClass.getName}: ${e.getMessage}")
+            -1.0
+        }
+      }
+      val cold = once()
+      val warm = once()
+      Seq("q_group_drift_8m" -> cold, "q_group_drift_8m_warm" -> warm)
+    }
+
     // locale-independent number formatting: f"" interpolation uses the JVM
     // default locale and can emit comma decimal separators → invalid JSON
     def num(v: Double, prec: Int = 3): String =
@@ -110,7 +139,7 @@ object Bench {
     // one stat per key: suite_sec_min (best case) + suite_sec_median
     // (typical); the ambiguous bare "suite_sec" key is gone so cross-round
     // comparisons can't silently mix statistics
-    val qs = (qTimes ++ Seq("suite_sec_min" -> suiteMin,
+    val qs = (qTimes ++ groupDriftTimes ++ Seq("suite_sec_min" -> suiteMin,
       "suite_sec_median" -> suiteMedian, "suite_rows" -> suiteRows.toDouble))
       .map { case (k, v) => s""""$k":${num(v)}""" }.mkString("{", ",", "}")
     val json = s"""{"metric":"validated files/sec","value":${num(filesPerSec, 1)},"unit":"files/sec","queries":$qs,"sf":"$sfDir","cpus":$cpus}"""
