@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.Sessionize
 import graft.drift.GroupDrift
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** Laws for sessionization and novel-category detection. */
@@ -73,6 +74,40 @@ class SessionizeSpec extends GraftSpec {
     val builtinSessions = df
       .groupBy(session_window(col("ts"), "3600 seconds")).count().count()
     assert(ourSessions === 1L && builtinSessions === 1L)
+  }
+
+  test("streaming session_window with watermark equals batch Sessionize on the closed set") {
+    // the deploy form: events arrive as a stream, sessions close when the
+    // watermark passes their gap; on a CLOSED input drained to completion
+    // the emitted session rows must equal the batch rollup (T3 principle)
+    import org.apache.spark.sql.streaming.OutputMode
+    val rows = for (i <- 0 until 30) yield {
+      val off = (0 until i).map(j => if (j % 7 == 6) 7200L else 300L).sum
+      ("u" + i % 2, new java.sql.Timestamp(1704067200000L + off * 1000L))
+    }
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val streamed = mem.toDF().toDF("u", "ts")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("u"), session_window(col("ts"), "3600 seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("u"), col("n_events"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("sess_stream").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // a final far-future event pushes the watermark past every session
+      mem.addData(("zz", new java.sql.Timestamp(1704067200000L + 10L * 86400000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamedCounts = spark.table("sess_stream")
+      .where(col("u") =!= "zz")
+      .orderBy("u", "n_events").select("u", "n_events").collect().toSeq
+    val batch = Sessionize.sessionize(rows.toDF("u", "ts"), "u", "ts", 3600.0)
+      .groupBy("u", "session_index").agg(count(lit(1)).as("n_events"))
+      .orderBy("u", "n_events").select("u", "n_events").collect().toSeq
+    assert(streamedCounts === batch)
   }
 
   test("novel categories: only never-in-baseline values, minCount cuts the tail") {
