@@ -414,6 +414,16 @@ object SparkEntry {
     // against the dataset watermark — closed-set deterministic (reference
     // time = global max ts, never the wall clock), whole-second floors on
     // both sides so the oracle agrees bit-for-bit
+    // C4-style boilerplate detection: 3-grams shared by >= 5 documents,
+    // named by the bounded freq sketch and confirmed exactly (the output
+    // is exact — the epsilon guard inside the operator proves the
+    // NO_FALSE_NEGATIVES precondition holds at this sizing)
+    "q_boilerplate" -> ((s, dir) => {
+      Dedup.boilerplateNgrams(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, minDocs = 5)
+        .orderBy("gram")
+    }),
+
     // gap-based sessionization (1h gap) rolled up to session rows —
     // three users keep the output bounded while exercising hundreds of
     // real session breaks per user at every SF
@@ -1510,6 +1520,21 @@ object SparkEntry {
     // NOTE: floor(epoch(..)) not CAST(epoch(..) AS BIGINT) — DuckDB's
     // double->bigint cast ROUNDS the fractional second while Spark's
     // unix_timestamp FLOORS it (off-by-one whenever fraction >= 0.5)
+    // exact GROUP BY/HAVING over the re-derived gram sets — the sketch
+    // phase only NAMES candidates, so the oracle needs no sketch model
+    "q_boilerplate" ->
+      """WITH norm AS (SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         g AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [nt]
+                 ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                     for i in range(1, len(w)-1)]) END AS gs
+               FROM norm),
+         e AS (SELECT doc_id, unnest(gs) AS gram FROM g)
+         SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+         FROM e GROUP BY 1 HAVING count(*) >= 5 ORDER BY gram""",
+
     // same strict-gap break rule over fractional epoch seconds
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, ts, epoch(ts) AS sec FROM events

@@ -636,4 +636,53 @@ object Dedup {
         when(dotJ > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
       }),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  // ---------------------------------------------------------- boilerplate
+
+  /** Cross-document boilerplate n-gram detection (the C4 curation step —
+    * Raffel et al. 2020 strip boilerplate lines; Lee et al. 2021 show
+    * cross-document repeated spans dominate duplicated training text):
+    * word n-grams of normalized text appearing in at least `minDocs`
+    * DISTINCT documents, with exact document counts.
+    *
+    * Two-phase sketch-then-exact (the adaptive-salting pattern, G5/G7):
+    * phase 1 NAMES candidates with one bounded [[graft.stats.FreqSketch]]
+    * aggregation over each document's distinct grams — the shuffle carries
+    * sketch bytes, never one row per distinct gram; phase 2 CONFIRMS
+    * exactly, re-exploding filtered to the named candidates (a bounded
+    * `isin`/InSet literal) and counting documents per gram. The output is
+    * EXACT: NO_FALSE_NEGATIVES guarantees every gram with true document
+    * count ≥ `minDocs` is named, provided `minDocs` exceeds the sketch's
+    * epsilon band N/(2·maxMapSize) — enforced loudly (raise `maxMapSize`
+    * if it trips; the N here is total doc·gram rows, counted in the same
+    * job as the sketch).
+    *
+    * EAGER: phase 1 is one aggregation action. Grams travel as strings
+    * (the ItemsSketch is string-keyed and the answer is ~dozens of rows);
+    * per-doc gram sets are distinct by construction ([[shingleStrings]]),
+    * so phase 2's count(*) per gram IS the distinct-document count.
+    */
+  def boilerplateNgrams(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, minDocs: Long = 2,
+                        maxMapSize: Int = 16384): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(shingleStrings(col(textCol), n)).as("gram"))
+    val head = grams.agg(
+      graft.stats.FreqSketch.freqItemsAgg(col("gram"), maxMapSize).as("sk"),
+      count(lit(1)).as("rows")).collect()(0)
+    val eps = head.getLong(1) / (2.0 * maxMapSize)
+    require(minDocs > eps, f"minDocs=$minDocs is inside the sketch's error" +
+      f" band (epsilon=$eps%.1f at ${head.getLong(1)} gram rows) — the" +
+      " NO_FALSE_NEGATIVES guarantee needs minDocs > epsilon; raise" +
+      s" maxMapSize above ${(head.getLong(1) / (2.0 * minDocs)).toLong + 1}")
+    val cand = graft.stats.FreqSketch.hotKeys(head.getAs[Array[Byte]](0), minDocs)
+    if (cand.isEmpty)
+      grams.where(lit(false)).groupBy("gram")
+        .agg(count(lit(1)).as("n_docs"))
+    else
+      grams.where(col("gram").isin(cand: _*))
+        .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") >= minDocs)
+  }
 }
