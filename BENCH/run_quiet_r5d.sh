@@ -1,6 +1,7 @@
 #!/bin/bash
-# Round-5 third stamped bench: final round-5 code (q_ann_pq in headlines,
-# freshness committed). Same driver protocol: sf0.1 input, 8M suite rows,
+# Round-5 FOURTH stamped bench: end-of-round code — adds the
+# q_group_drift_8m leg (stratified per-lang drift over the 8M suite
+# input). Same driver protocol: sf0.1 input, 8M suite rows,
 # full-size warm-up + 3 timed runs inside graft.Bench.
 set -u
 LOG=${1:-/root/repo/BENCH/bench_quiet_r5d.log}

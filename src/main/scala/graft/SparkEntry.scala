@@ -414,16 +414,6 @@ object SparkEntry {
     // against the dataset watermark — closed-set deterministic (reference
     // time = global max ts, never the wall clock), whole-second floors on
     // both sides so the oracle agrees bit-for-bit
-    // C4-style boilerplate detection: 3-grams shared by >= 5 documents,
-    // named by the bounded freq sketch and confirmed exactly (the output
-    // is exact — the epsilon guard inside the operator proves the
-    // NO_FALSE_NEGATIVES precondition holds at this sizing)
-    "q_boilerplate" -> ((s, dir) => {
-      Dedup.boilerplateNgrams(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, minDocs = 5)
-        .orderBy("gram")
-    }),
-
     // gap-based sessionization (1h gap) rolled up to session rows —
     // three users keep the output bounded while exercising hundreds of
     // real session breaks per user at every SF
@@ -703,6 +693,17 @@ object SparkEntry {
         docs.where(col("doc_id") % 17 === 0),
         "doc_id", "text", n = 3, minOverlap = 1)
         .orderBy("doc_id")
+    }),
+
+    // C4-style boilerplate detection: 3-grams shared by >= 5 documents,
+    // named by the bounded freq sketch and confirmed exactly; maxMapSize
+    // 65536 keeps the sketch in its EXACT regime (maximumError 0) at
+    // every SF — sf0.1 has ~27k distinct grams, above the default map's
+    // purge point, and the operator refuses loudly rather than miss
+    "q_boilerplate" -> ((s, dir) => {
+      Dedup.boilerplateNgrams(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, minDocs = 5, maxMapSize = 65536)
+        .orderBy("gram")
     }),
 
     // exact word-3-gram Jaccard re-rank over a DETERMINISTIC candidate set
@@ -1520,21 +1521,6 @@ object SparkEntry {
     // NOTE: floor(epoch(..)) not CAST(epoch(..) AS BIGINT) — DuckDB's
     // double->bigint cast ROUNDS the fractional second while Spark's
     // unix_timestamp FLOORS it (off-by-one whenever fraction >= 0.5)
-    // exact GROUP BY/HAVING over the re-derived gram sets — the sketch
-    // phase only NAMES candidates, so the oracle needs no sketch model
-    "q_boilerplate" ->
-      """WITH norm AS (SELECT doc_id,
-             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt,
-             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
-           FROM documents),
-         g AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [nt]
-                 ELSE list_distinct([array_to_string(w[i:i+2], ' ')
-                                     for i in range(1, len(w)-1)]) END AS gs
-               FROM norm),
-         e AS (SELECT doc_id, unnest(gs) AS gram FROM g)
-         SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
-         FROM e GROUP BY 1 HAVING count(*) >= 5 ORDER BY gram""",
-
     // same strict-gap break rule over fractional epoch seconds
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, ts, epoch(ts) AS sec FROM events
@@ -2102,6 +2088,21 @@ object SparkEntry {
                 count(e.gram) >= 1 AS contaminated
          FROM cg c LEFT JOIN eg e ON c.gram = e.gram
          GROUP BY c.doc_id ORDER BY doc_id""",
+
+    // exact GROUP BY/HAVING over the re-derived gram sets — the sketch
+    // phase only NAMES candidates, so the oracle needs no sketch model
+    "q_boilerplate" ->
+      """WITH norm AS (SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         g AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [nt]
+                 ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                     for i in range(1, len(w)-1)]) END AS gs
+               FROM norm),
+         e AS (SELECT doc_id, unnest(gs) AS gram FROM g)
+         SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+         FROM e GROUP BY 1 HAVING count(*) >= 5 ORDER BY gram""",
 
     "q_ngram_jaccard" ->
       """WITH dups AS (

@@ -653,9 +653,12 @@ object Dedup {
     * `isin`/InSet literal) and counting documents per gram. The output is
     * EXACT: NO_FALSE_NEGATIVES guarantees every gram with true document
     * count ≥ `minDocs` is named, provided `minDocs` exceeds the sketch's
-    * epsilon band N/(2·maxMapSize) — enforced loudly (raise `maxMapSize`
-    * if it trips; the N here is total doc·gram rows, counted in the same
-    * job as the sketch).
+    * ACTUAL per-run error bound — `getMaximumError()` on the collected
+    * bytes, which is 0 while the map never purged (the exact regime) and
+    * which `getFrequentItems` clamps its threshold up to; an a-priori
+    * N-based epsilon would UNDERSTATE the library's real bound
+    * (3.5·N/maxMapSize) and drop true positives silently. Enforced
+    * loudly; the refusal names a power-of-two `maxMapSize` to retry with.
     *
     * EAGER: phase 1 is one aggregation action. Grams travel as strings
     * (the ItemsSketch is string-keyed and the answer is ~dozens of rows);
@@ -668,21 +671,27 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val grams = docs.select(col(idCol).as("doc_id"),
       explode(shingleStrings(col(textCol), n)).as("gram"))
-    val head = grams.agg(
-      graft.stats.FreqSketch.freqItemsAgg(col("gram"), maxMapSize).as("sk"),
-      count(lit(1)).as("rows")).collect()(0)
-    val eps = head.getLong(1) / (2.0 * maxMapSize)
-    require(minDocs > eps, f"minDocs=$minDocs is inside the sketch's error" +
-      f" band (epsilon=$eps%.1f at ${head.getLong(1)} gram rows) — the" +
-      " NO_FALSE_NEGATIVES guarantee needs minDocs > epsilon; raise" +
-      s" maxMapSize above ${(head.getLong(1) / (2.0 * minDocs)).toLong + 1}")
-    val cand = graft.stats.FreqSketch.hotKeys(head.getAs[Array[Byte]](0), minDocs)
-    if (cand.isEmpty)
-      grams.where(lit(false)).groupBy("gram")
-        .agg(count(lit(1)).as("n_docs"))
-    else
-      grams.where(col("gram").isin(cand: _*))
-        .groupBy("gram").agg(count(lit(1)).as("n_docs"))
-        .where(col("n_docs") >= minDocs)
+    val bytes = grams.agg(
+      graft.stats.FreqSketch.freqItemsAgg(col("gram"), maxMapSize).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    // the sketch's OWN exact error bound for this run (0 in the exact
+    // regime) — getFrequentItems clamps its threshold up to this value,
+    // so a minDocs at or below it cannot honor NO_FALSE_NEGATIVES (and an
+    // a-priori N-based epsilon understates the library's real bound)
+    val maxErr = graft.stats.FreqSketch.heapify(bytes).getMaximumError
+    require(minDocs > maxErr, {
+      var suggest = maxMapSize.toLong * 2
+      while (suggest < Int.MaxValue / 4 &&
+             3.5 * maxMapSize * maxErr / suggest >= minDocs) suggest *= 2
+      s"minDocs=$minDocs is not above the sketch's actual error bound" +
+        s" ($maxErr at maxMapSize=$maxMapSize) — NO_FALSE_NEGATIVES needs" +
+        s" minDocs > maxError; retry with maxMapSize=$suggest (power of 2)"
+    })
+    // an empty candidate list needs no special case: isin() over zero
+    // values is constant-false and the groupBy yields the empty result
+    val cand = graft.stats.FreqSketch.hotKeys(bytes, minDocs)
+    grams.where(col("gram").isin(cand: _*))
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
   }
 }

@@ -44,15 +44,15 @@ class BoilerplateSpec extends GraftSpec {
       .isEmpty)
   }
 
-  test("epsilon guard trips loudly when minDocs is inside the error band") {
-    // maxMapSize 16 over ~15 gram rows → epsilon ≈ 0.47; minDocs=2 is fine,
-    // but a big corpus with a tiny map must refuse instead of silently
-    // dropping true positives: force it with many docs and a tiny map
+  test("error-bound guard trips loudly when the sketch purged past minDocs") {
+    // a tiny map over many distinct grams purges, so getMaximumError
+    // rises above minDocs — the operator must refuse instead of silently
+    // dropping true positives
     val many = (0 until 300).map(i => (i, s"w$i x$i y$i z$i")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
       Dedup.boilerplateNgrams(many, "doc_id", "text", n = 3, minDocs = 2,
         maxMapSize = 8)
     }
-    assert(e.getMessage.contains("epsilon"))
+    assert(e.getMessage.contains("error bound") && e.getMessage.contains("power of 2"))
   }
 }
