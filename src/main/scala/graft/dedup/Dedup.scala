@@ -81,14 +81,15 @@ object Dedup {
 
   // ---------------------------------------------------------------- shingles
 
-  /** Word n-gram shingles of normalized text, hashed to 64-bit. */
-  def shingleHashes(text: Column, n: Int = 3): Column = {
-    val words = split(TextAnalysis.normalize(text), " ")
-    val grams = when(size(words) < n, array(xxhash64(TextAnalysis.normalize(text))))
-      .otherwise(transform(sequence(lit(0), size(words) - n),
-        i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(n))))))
-    array_distinct(grams)
-  }
+  /** Word n-gram shingles of normalized text, hashed to 64-bit — native
+    * one-pass kernel ([[ShingleKernel]]; bit-parity with the composed
+    * `array_distinct(transform(...xxhash64(concat_ws(...))))` form pinned
+    * by DedupSpec).
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      WordGramHashes(org.apache.spark.sql.graftbridge.ColumnBridge
+        .expression(TextAnalysis.normalize(text)), n))
 
   /** Word n-gram shingles as distinct STRINGS — the oracle-comparable form
     * (exact Jaccard on gram sets); [[shingleHashes]] is the compact scale
@@ -681,8 +682,12 @@ object Dedup {
     val maxErr = graft.stats.FreqSketch.heapify(bytes).getMaximumError
     require(minDocs > maxErr, {
       var suggest = maxMapSize.toLong * 2
+      // maxErr already embeds the library's 3.5·N/maxMapSize bound, so the
+      // projected error at `suggest` is maxErr·maxMapSize/suggest — an
+      // extra 3.5 factor here double-counted the constant and suggested a
+      // map ~4x larger than needed
       while (suggest < Int.MaxValue / 4 &&
-             3.5 * maxMapSize * maxErr / suggest >= minDocs) suggest *= 2
+             maxErr.toDouble * maxMapSize / suggest >= minDocs) suggest *= 2
       s"minDocs=$minDocs is not above the sketch's actual error bound" +
         s" ($maxErr at maxMapSize=$maxMapSize) — NO_FALSE_NEGATIVES needs" +
         s" minDocs > maxError; retry with maxMapSize=$suggest (power of 2)"

@@ -66,10 +66,11 @@ object Drift {
     if (refStd.isNaN || refStd == 0.0 || refMean.isNaN || curMean.isNaN) 0.0
     else math.abs(refMean - curMean) / refStd
 
-  /** PSI over numeric columns, ALL sharing two jobs regardless of width
-    * (the [[KsTest.ks2SampMulti]] shape): job 1 gets every column's
-    * BASELINE [min, max] in one conditional aggregation; job 2 computes
-    * every column's 10-bin histogram on both sides from one melted pass.
+  /** PSI over numeric columns, ALL sharing ONE melted scan/shuffle
+    * regardless of width (the [[KsTest.ks2SampMulti]] shape): the
+    * per-(column, distinct value) count table is materialized once; the
+    * baseline [min, max] ranges and the 10-bin histograms are both derived
+    * from that bounded grouped table, so the full input is never re-read.
     * Per column the formula is exactly the single-column one: bins pinned
     * to the baseline's [min, max], out-of-range current values clamped
     * into the edge bins. A caller looping [[psiNumeric]] over a wide table
@@ -81,53 +82,47 @@ object Drift {
     require(valueCols.distinct.size == valueCols.size,
       s"psiNumericMulti: duplicate column names in ${valueCols.mkString(", ")}")
     if (valueCols.isEmpty) return Map.empty
-    // job 1: per-column baseline [min, max] in ONE conditional agg (min/max
-    // skip nulls, so the when-guard also drops non-baseline rows and NaNs)
-    val aggs = valueCols.zipWithIndex.flatMap { case (c, i) =>
-      val v = col(c).cast("double")
-      val vb = when(isBaseline && v.isNotNull && !isnan(v), v)
-      Seq(min(vb).as(s"__lo$i"), max(vb).as(s"__hi$i"))
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    def d(n: String): Option[Double] =
-      Option(row.getAs[Any](n)).map(_.asInstanceOf[Number].doubleValue())
-    val ranges = valueCols.indices.map(i => (d(s"__lo$i"), d(s"__hi$i")))
-    val live = valueCols.zipWithIndex.filter { case (_, i) => ranges(i)._1.isDefined }
-    if (live.isEmpty) return valueCols.map(_ -> 0.0).toMap
-    // job 2: melted (column, bin) histograms for BOTH sides in one pass;
-    // each lane gets its own baseline-pinned bucket edges via a cid-switch
-    val structs = live.map { case (c, i) =>
-      struct(lit(i).as("cid"), col(c).cast("double").as("v"))
-    }
-    // NULL isBaseline → neither side (both whens fall to 0), like a filter
-    val melted = df.select(explode(array(structs: _*)).as("nv"),
-        when(isBaseline, 1L).otherwise(0L).as("s1"),
-        when(!isBaseline, 1L).otherwise(0L).as("s2"))
-      .select(col("nv.cid").as("cid"), col("nv.v").as("v"), col("s1"), col("s2"))
-      .where(col("v").isNotNull && !isnan(col("v")))
-    val bucket = live.foldLeft(lit(0)) { case (acc, (_, i)) =>
-      when(col("cid") === i,
-        greatest(lit(0), Stats.bucketExpr(col("v"), ranges(i)._1.get, ranges(i)._2.get, bins)))
-        .otherwise(acc)
-    }
-    val hists = melted.groupBy(col("cid"), bucket.as("bin"))
-      .agg(sum("s1").as("c1"), sum("s2").as("c2"))
-      .collect()
-      .groupBy(_.getInt(0))
-      .map { case (cid, rs) =>
-        cid -> rs.map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // ONE melted scan/shuffle: the per-(column, distinct value) count table
+    // (the exact-KS shape). Both the baseline [min, max] ranges and the
+    // binned histograms are then derived from this bounded grouped table —
+    // the old two-job form re-scanned the full input for the histogram pass.
+    val counts = KsTest.distinctCounts(df, valueCols, isBaseline).persist()
+    try {
+      // job 1 (materializes the melt): per-column baseline [min, max] over
+      // the distinct values — identical to min/max over the raw rows
+      val rangeRows = counts.where(col("c1") > 0).groupBy("cid")
+        .agg(min("v").as("lo"), max("v").as("hi")).collect()
+      val ranges: Map[Int, (Double, Double)] = rangeRows
+        .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val live = valueCols.zipWithIndex.filter { case (_, i) => ranges.contains(i) }
+      if (live.isEmpty) return valueCols.map(_ -> 0.0).toMap
+      // job 2: per-(column, bin) totals over the grouped table; each live
+      // lane gets its own baseline-pinned bucket edges via a cid-switch.
+      // Integer count sums — bit-identical to bucketing the raw rows.
+      val bucket = live.foldLeft(lit(0)) { case (acc, (_, i)) =>
+        when(col("cid") === i,
+          greatest(lit(0), Stats.bucketExpr(col("v"), ranges(i)._1, ranges(i)._2, bins)))
+          .otherwise(acc)
       }
-    valueCols.zipWithIndex.map { case (c, i) =>
-      val h = hists.getOrElse(i, Map.empty[Int, (Long, Long)])
-      val n1 = h.values.map(_._1).sum.toDouble
-      val n2 = h.values.map(_._2).sum.toDouble
-      c -> (if (ranges(i)._1.isEmpty || n1 == 0 || n2 == 0) 0.0
-            else {
-              val p = (0 until bins).map(j => h.getOrElse(j, (0L, 0L))._1 / n1)
-              val q = (0 until bins).map(j => h.getOrElse(j, (0L, 0L))._2 / n2)
-              DriftMath.psi(p, q)
-            })
-    }.toMap
+      val hists = counts.groupBy(col("cid"), bucket.as("bin"))
+        .agg(sum("c1").as("h1"), sum("c2").as("h2"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rs) =>
+          cid -> rs.map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+        }
+      valueCols.zipWithIndex.map { case (c, i) =>
+        val h = hists.getOrElse(i, Map.empty[Int, (Long, Long)])
+        val n1 = h.values.map(_._1).sum.toDouble
+        val n2 = h.values.map(_._2).sum.toDouble
+        c -> (if (!ranges.contains(i) || n1 == 0 || n2 == 0) 0.0
+              else {
+                val p = (0 until bins).map(j => h.getOrElse(j, (0L, 0L))._1 / n1)
+                val q = (0 until bins).map(j => h.getOrElse(j, (0L, 0L))._2 / n2)
+                DriftMath.psi(p, q)
+              })
+      }.toMap
+    } finally counts.unpersist()
   }
 
   /** PSI over a numeric column: 10 equi-width bins pinned to the BASELINE
@@ -208,6 +203,23 @@ object Drift {
       s"meltedCatCounts: duplicate column names in ${catCols.mkString(", ")}")
     if (catCols.isEmpty) return Map.empty
     val structs = catCols.map(c => struct(lit(c).as("name"), col(c).cast("string").as("v")))
+    // NULL isBaseline → neither side (both whens fall to 0), like a filter
+    val grouped = df.select(explode(array(structs: _*)).as("nv"),
+        when(isBaseline, 1L).otherwise(0L).as("s1"),
+        when(!isBaseline, 1L).otherwise(0L).as("s2"))
+      .select(col("nv.name").as("name"), col("nv.v").as("v"), col("s1"), col("s2"))
+      .where(col("v").isNotNull)
+      .groupBy("name", "v").agg(sum("s1").as("c1"), sum("s2").as("c2"))
+    cappedCatCounts(grouped, catCols, topK)
+  }
+
+  /** The salted two-phase top-K cap + collect over a PRE-GROUPED
+    * (name, v, c1, c2) category-count table — the tail of
+    * [[meltedCatCounts]], shared with [[detect]]'s single-melt path (which
+    * derives the grouped table from the same scan that feeds KS/moments).
+    */
+  private def cappedCatCounts(grouped: DataFrame, catCols: Seq[String], topK: Int)
+      : Map[String, Array[(String, Long, Long)]] = {
     val w = org.apache.spark.sql.expressions.Window
     val salt = pmod(xxhash64(col("v")), lit(CatSaltFanout))
     val perSalt = w.partitionBy(col("name"), salt)
@@ -216,13 +228,7 @@ object Drift {
     // so they never consume a phase-2 rank slot
     val perCol = w.partitionBy("name")
       .orderBy((col("vc") === OtherBucket).asc, col("c1").desc, col("c2").desc, col("vc"))
-    // NULL isBaseline → neither side (both whens fall to 0), like a filter
-    val rows = df.select(explode(array(structs: _*)).as("nv"),
-        when(isBaseline, 1L).otherwise(0L).as("s1"),
-        when(!isBaseline, 1L).otherwise(0L).as("s2"))
-      .select(col("nv.name").as("name"), col("nv.v").as("v"), col("s1"), col("s2"))
-      .where(col("v").isNotNull)
-      .groupBy("name", "v").agg(sum("s1").as("c1"), sum("s2").as("c2"))
+    val rows = grouped
       .withColumn("v", guardSentinel(col("v")))
       .withColumn("vc", when(row_number().over(perSalt) <= topK, col("v"))
         .otherwise(lit(OtherBucket)))
@@ -239,78 +245,176 @@ object Drift {
     }.toMap
   }
 
+  /** Per-column (count, mean, sample-std, count2, mean2) used by
+    * [[detect]]'s mean-difference — computed from the distinct-value count
+    * table instead of a second input scan.
+    */
+  private[drift] case class Sides(n1: Long, m1: Double, s1: Double, n2: Long, m2: Double)
+
+  /** Exact per-lane moments from a (cid, v, c1, c2) distinct-count table
+    * (two bounded jobs over the persisted counts — the full input is never
+    * re-read). The sample std uses a mean-shifted second pass, so a
+    * constant-valued lane yields exactly 0.0 (stddev_samp parity) and the
+    * naive Σv² − n·μ² cancellation never fires; a single-value lane yields
+    * NaN and an empty lane NaN mean, both matching stddev_samp/avg over
+    * zero/one rows.
+    */
+  private[drift] def momentsFromCounts(numCounts: DataFrame): Map[Int, Sides] = {
+    val first = numCounts.groupBy("cid").agg(
+      sum("c1").as("n1"), sum(col("v") * col("c1")).as("S1"),
+      min(when(col("c1") > 0, col("v"))).as("lo1"),
+      max(when(col("c1") > 0, col("v"))).as("hi1"),
+      sum("c2").as("n2"), sum(col("v") * col("c2")).as("S2")).collect()
+    if (first.isEmpty) return Map.empty
+    case class FirstPass(n1: Long, m1: Double, lo1: Double, hi1: Double,
+                         n2: Long, m2: Double)
+    val fp = first.map { r =>
+      val n1 = r.getLong(1); val n2 = r.getLong(5)
+      r.getInt(0) -> FirstPass(n1,
+        if (n1 > 0) r.getDouble(2) / n1 else Double.NaN,
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
+        n2, if (n2 > 0) r.getDouble(6) / n2 else Double.NaN)
+    }.toMap
+    // second pass: baseline-side Σ c1·(v − μ)² with per-lane μ as literals
+    val needStd = fp.filter { case (_, f) => f.n1 > 1 && f.lo1 != f.hi1 }
+    val m2ByCid: Map[Int, Double] =
+      if (needStd.isEmpty) Map.empty
+      else {
+        val shift = needStd.foldLeft(lit(0.0)) { case (els, (cid, f)) =>
+          when(col("cid") === cid, lit(f.m1)).otherwise(els)
+        }
+        numCounts.where(col("c1") > 0 &&
+            col("cid").isin(needStd.keys.toSeq.map(Int.box): _*))
+          .select(col("cid"),
+            ((col("v") - shift) * (col("v") - shift) * col("c1")).as("d2"))
+          .groupBy("cid").agg(sum("d2").as("M2")).collect()
+          .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      }
+    fp.map { case (cid, f) =>
+      val s1 =
+        if (f.n1 <= 1) Double.NaN // stddev_samp: 0 rows → null, 1 row → NaN
+        else if (f.lo1 == f.hi1) 0.0 // constant lane — exactly 0 like Welford
+        else math.sqrt(math.max(0.0, m2ByCid.getOrElse(cid, 0.0)) / (f.n1 - 1))
+      cid -> Sides(f.n1, f.m1, s1, f.n2, f.m2)
+    }
+  }
+
   /** Full drift report over numeric columns (KS, reference DriftDetector
     * semantics) + optional categorical columns (chi-square), baseline vs
     * current selected by `isBaseline`. Columns with no data on either side
     * are skipped (DESIGN.md:557-558).
     *
-    * Bounded job count regardless of column width: ONE conditional
-    * aggregation gets both sides' (count, mean, std) for every numeric
-    * column in a single scan; all numeric columns share the distributed
-    * multi-column exact KS ([[KsTest.ks2SampMulti]], 3 jobs); all
-    * categorical columns share one melted groupBy. Total ≤ 5 jobs for any
-    * number of columns (vs the old 2 + 2·#columns).
+    * ONE scan of the input for any column mix: numeric and categorical
+    * columns melt together into a single (lane, value) distinct-count
+    * shuffle — numeric lanes carry the double value, categorical lanes the
+    * string. Everything downstream (exact-KS boundaries + max gap, the
+    * per-column moments feeding mean_difference, the capped categorical
+    * counts) runs over that persisted bounded table, never over the input
+    * again. The previous shape paid three full input scans (conditional
+    * moments agg, KS melt, categorical melt).
     */
   def detect(df: DataFrame, numericCols: Seq[String], catCols: Seq[String],
              isBaseline: Column, ksThreshold: Double = KsThreshold): DriftReport = {
     // a duplicated name would silently double every melted count (and so the
-    // chi-square statistic) / collide the conditional-agg aliases — refuse
+    // chi-square statistic) / collide the lane ids — refuse
     require(numericCols.distinct.size == numericCols.size,
       s"detect: duplicate numeric columns in ${numericCols.mkString(", ")}")
     require(catCols.distinct.size == catCols.size,
       s"detect: duplicate categorical columns in ${catCols.mkString(", ")}")
-    // job 1: both sides' moments per numeric column in one conditional agg
-    case class Sides(n1: Long, m1: Double, s1: Double, n2: Long, m2: Double)
-    val sides: Map[String, Sides] = if (numericCols.isEmpty) Map.empty else {
-      val aggs = numericCols.flatMap { c =>
-        val clean = when(Stats.missingPred(df, c), null).otherwise(col(c).cast("double"))
-        val vb = when(isBaseline, clean)
-        val vc = when(!isBaseline, clean)
-        Seq(count(vb).as(s"${c}__n1"), avg(vb).as(s"${c}__m1"),
-          stddev_samp(vb).as(s"${c}__s1"),
-          count(vc).as(s"${c}__n2"), avg(vc).as(s"${c}__m2"))
-      }
-      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-      def d(n: String): Double = row.getAs[Any](n) match {
-        case null => Double.NaN
-        case x: Number => x.doubleValue()
-      }
-      numericCols.map(c => c -> Sides(row.getAs[Long](s"${c}__n1"), d(s"${c}__m1"),
-        d(s"${c}__s1"), row.getAs[Long](s"${c}__n2"), d(s"${c}__m2"))).toMap
+    if (numericCols.isEmpty && catCols.isEmpty)
+      return DriftReport(overall_drift_detected = false, Seq.empty, 0L)
+    val nN = numericCols.size
+    val numStructs = numericCols.zipWithIndex.map { case (c, i) =>
+      // the missing-value guard keeps moments aligned with the reference
+      // dropna(): missing numeric values (null / NaN / "" on strings) fall
+      // out of BOTH the KS counts and the moment sums, exactly like the
+      // old conditional-agg clean column
+      struct(lit(i).as("cid"),
+        when(Stats.missingPred(df, c), null).otherwise(col(c).cast("double")).as("v"),
+        lit(null).cast("string").as("vs"))
     }
-
-    // jobs 2-4: multi-column exact KS over columns populated on both sides
-    val ksCols = numericCols.filter(c => sides(c).n1 > 0 && sides(c).n2 > 0)
-    val ksByCol = if (ksCols.isEmpty) Map.empty[String, KsTest.KsResult]
-      else KsTest.ks2SampMulti(df, ksCols, isBaseline)
-    val ksDrift = ksCols.map { c =>
-      val s = sides(c)
-      val ks = ksByCol(c)
-      ColumnDrift(c, "ks", ks.statistic, ks.pValue, ks.pValue < ksThreshold,
-        meanDifference(s.m1, s.s1, s.m2), ks.n1, ks.n2)
+    val catStructs = catCols.zipWithIndex.map { case (c, i) =>
+      struct(lit(nN + i).as("cid"), lit(null).cast("double").as("v"),
+        col(c).cast("string").as("vs"))
     }
+    // NULL isBaseline → neither side (both whens fall to 0), like a filter
+    val melted = df.select(explode(array((numStructs ++ catStructs): _*)).as("nv"),
+        when(isBaseline, 1L).otherwise(0L).as("s1"),
+        when(!isBaseline, 1L).otherwise(0L).as("s2"))
+      .select(col("nv.cid").as("cid"), col("nv.v").as("v"), col("nv.vs").as("vs"),
+        col("s1"), col("s2"))
+      .where((col("cid") < nN && col("v").isNotNull && !isnan(col("v"))) ||
+             (col("cid") >= nN && col("vs").isNotNull))
+    val counts = melted.groupBy("cid", "v", "vs")
+      .agg(sum("s1").as("c1"), sum("s2").as("c2")).persist()
+    try {
+      val numCounts = counts.where(col("cid") < nN).select("cid", "v", "c1", "c2")
+      // moments per numeric column (2 bounded jobs; the first materializes
+      // the shared melt)
+      val sidesByCid = if (nN == 0) Map.empty[Int, Sides] else momentsFromCounts(numCounts)
+      val sides: Map[String, Sides] = numericCols.zipWithIndex.map { case (c, i) =>
+        c -> sidesByCid.getOrElse(i, Sides(0L, Double.NaN, Double.NaN, 0L, Double.NaN))
+      }.toMap
 
-    // job 5: every categorical column's capped counts in one melted groupBy
-    // ([[meltedCatCounts]])
-    val catDrift: Seq[ColumnDrift] =
-      meltedCatCounts(df, catCols, isBaseline, CatTopK).toSeq
-        .sortBy { case (c, _) => catCols.indexOf(c) }
-        .map { case (c, cnts) =>
-          val ref = cnts.map(r => r._1 -> r._2).toMap
-          val cur = cnts.map(r => r._1 -> r._3).toMap
-          val (stat, p, _) = chiSqGof(ref, cur)
-          // n_ref/n_cur are THIS column's non-null counts (the tail fold
-          // preserves per-side sums), not the first numeric column's — a
-          // cat-only detect() must not report sample sizes of 0
-          ColumnDrift(c, "chisq", stat, p, p < ChiSqThreshold, 0.0,
-            cnts.map(_._2).sum, cnts.map(_._3).sum)
+      // exact KS over columns populated on both sides (boundary percentiles
+      // + the single final max-gap job, both over the persisted counts)
+      val ksCols = numericCols.filter(c => sides(c).n1 > 0 && sides(c).n2 > 0)
+      val ksByCol: Map[String, KsTest.KsResult] =
+        if (ksCols.isEmpty) Map.empty
+        else {
+          val liveCids = numericCols.zipWithIndex
+            .filter { case (c, _) => ksCols.contains(c) }.map(_._2)
+          val rows = KsTest.ksMaxGapFromCounts(
+            numCounts.where(col("cid").isin(liveCids.map(Int.box): _*)), 32).collect()
+          val byCid = rows.map(r => r.getInt(0) ->
+            ((if (r.isNullAt(1)) 0.0 else r.getDouble(1)), r.getLong(2), r.getLong(3))).toMap
+          numericCols.zipWithIndex.flatMap { case (c, i) =>
+            byCid.get(i).map { case (num, n1, n2) =>
+              val d = if (n1 > 0 && n2 > 0) num / (n1.toDouble * n2.toDouble) else 0.0
+              c -> KsTest.KsResult(d,
+                if (n1 > 0 && n2 > 0) DriftMath.ksPValue(d, n1, n2) else 1.0, n1, n2)
+            }
+          }.toMap
+        }
+      val ksDrift = ksCols.flatMap { c =>
+        ksByCol.get(c).map { ks =>
+          val s = sides(c)
+          ColumnDrift(c, "ks", ks.statistic, ks.pValue, ks.pValue < ksThreshold,
+            meanDifference(s.m1, s.s1, s.m2), ks.n1, ks.n2)
+        }
+      }
+
+      // categorical lanes: capped counts over the SAME persisted table
+      // (salted two-phase top-K — [[cappedCatCounts]])
+      val catDrift: Seq[ColumnDrift] =
+        if (catCols.isEmpty) Seq.empty
+        else {
+          val nameFor = catCols.zipWithIndex.foldLeft(lit(null).cast("string")) {
+            case (els, (c, i)) => when(col("cid") === (nN + i), lit(c)).otherwise(els)
+          }
+          val grouped = counts.where(col("cid") >= nN)
+            .select(nameFor.as("name"), col("vs").as("v"), col("c1"), col("c2"))
+          cappedCatCounts(grouped, catCols, CatTopK).toSeq
+            .sortBy { case (c, _) => catCols.indexOf(c) }
+            .map { case (c, cnts) =>
+              val ref = cnts.map(r => r._1 -> r._2).toMap
+              val cur = cnts.map(r => r._1 -> r._3).toMap
+              val (stat, p, _) = chiSqGof(ref, cur)
+              // n_ref/n_cur are THIS column's non-null counts (the tail fold
+              // preserves per-side sums), not the first numeric column's — a
+              // cat-only detect() must not report sample sizes of 0
+              ColumnDrift(c, "chisq", stat, p, p < ChiSqThreshold, 0.0,
+                cnts.map(_._2).sum, cnts.map(_._3).sum)
+            }
         }
 
-    val all = ksDrift ++ catDrift
-    DriftReport(all.exists(_.drift_detected),
-      all,
-      (numericCols.map(c => sides(c).n2) ++ catDrift.map(_.n_cur))
-        .maxOption.getOrElse(0L))
+      val all = ksDrift ++ catDrift
+      DriftReport(all.exists(_.drift_detected),
+        all,
+        (numericCols.map(c => sides(c).n2) ++ catDrift.map(_.n_cur))
+          .maxOption.getOrElse(0L))
+    } finally counts.unpersist()
   }
 
   /** Chi-square goodness-of-fit from category count maps: expected =

@@ -66,66 +66,69 @@ object GroupDrift {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val top = df.where(col(groupCol).isNotNull)
-      .groupBy(groupCol).count()
-      .orderBy(desc("count"), col(groupCol))
-      .limit(maxGroups)
-      .select(col(groupCol).cast("string")).as[String].collect().sorted
-    val names = top.toSeq :+ OtherGroup
-    val laneOf = names.zipWithIndex.toMap
-
-    val g = when(col(groupCol).cast("string").isin(top.toSeq: _*),
-      col(groupCol).cast("string")).otherwise(OtherGroup)
-    val clean = df.where(col(groupCol).isNotNull)
-      .select(g.as("g"), col(valueCol).cast("double").as("v"),
-        when(isBaseline, 1L).otherwise(0L).as("s1"),
-        when(!isBaseline, 1L).otherwise(0L).as("s2"))
-      .where(col("v").isNotNull && !isnan(col("v")))
-
-    // lanes = groups through the shared two-phase KS machinery
-    val laneDf = broadcast(names.zipWithIndex.map { case (n, i) => (n, i) }
-      .toDF("g", "cid"))
-    // persisted for the same reason ks2SampMulti persists: the machinery
-    // runs a boundary-percentile collect over counts and then the final
-    // max-gap job re-reads it — unpersisted, the full melt+join+groupBy
-    // would recompute for each
-    val counts = clean.join(laneDf, Seq("g"))
-      .groupBy("cid", "v").agg(sum("s1").as("c1"), sum("s2").as("c2"))
+    // ONE scan of the input: per-(raw group, distinct value) counts. The
+    // total row count `n` keeps null/NaN values so the top-group cut sees
+    // the same per-group row counts a plain groupBy(group).count() would;
+    // c1/c2 count the clean baseline/current rows (NULL isBaseline →
+    // neither side, like a filter). Everything downstream — the top-group
+    // naming, the lane-keyed KS counts and the per-group moments — runs
+    // over this bounded (groups × distinct values) table; the previous
+    // shape re-scanned the full input three times (top cut, KS melt,
+    // conditional moments agg).
+    val gv = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(isBaseline, 1L).otherwise(0L)).as("s1"),
+        sum(when(!isBaseline, 1L).otherwise(0L)).as("s2"))
       .persist()
-    val ksByLane =
-      try KsTest.ksMaxGapFromCounts(counts, 32).collect()
-        .map(r => r.getInt(0) ->
-          ((if (r.isNullAt(1)) 0.0 else r.getDouble(1)), r.getLong(2), r.getLong(3)))
-        .toMap
-      finally counts.unpersist()
+    try {
+      val top = gv.groupBy("g").agg(sum("n").as("count"))
+        .orderBy(desc("count"), col("g"))
+        .limit(maxGroups)
+        .select(col("g")).as[String].collect().sorted
+      val names = top.toSeq :+ OtherGroup
+      val laneOf = names.zipWithIndex.toMap
 
-    // one conditional aggregation for means/stds (bounded: ≤ maxGroups+1 rows)
-    val mRows = clean
-      .groupBy("g").agg(
-        avg(when(col("s1") === 1L, col("v"))).as("mean_base"),
-        stddev_samp(when(col("s1") === 1L, col("v"))).as("std_base"),
-        avg(when(col("s2") === 1L, col("v"))).as("mean_cur"))
-      .collect()
+      // lanes = (possibly __other__-lumped) groups through the shared
+      // two-phase KS machinery — a driver-side literal when-chain maps the
+      // bounded group set to lane ids, no join needed
+      val lane = names.zipWithIndex.foldLeft(lit(laneOf(OtherGroup))) {
+        case (els, (n, i)) =>
+          if (n == OtherGroup) els else when(col("g") === n, i).otherwise(els)
+      }
+      val counts = gv
+        .where(col("v").isNotNull && !isnan(col("v")))
+        .select(lane.as("cid"), col("v"), col("s1").as("c1"), col("s2").as("c2"))
+        .groupBy("cid", "v").agg(sum("c1").as("c1"), sum("c2").as("c2"))
+        .persist()
+      try {
+        val ksByLane = KsTest.ksMaxGapFromCounts(counts, 32).collect()
+          .map(r => r.getInt(0) ->
+            ((if (r.isNullAt(1)) 0.0 else r.getDouble(1)), r.getLong(2), r.getLong(3)))
+          .toMap
+        // per-lane moments from the same counts table (2 bounded jobs; a
+        // constant-valued lane yields std exactly 0, stddev_samp parity)
+        val moments = Drift.momentsFromCounts(counts)
 
-    val out = mRows.map { r =>
-      val name = r.getString(0)
-      val (num, n1, n2) = ksByLane.getOrElse(laneOf(name), (0.0, 0L, 0L))
-      val (d, p) =
-        if (n1 > 0 && n2 > 0) {
-          val s = num / (n1.toDouble * n2.toDouble)
-          (s, DriftMath.ksPValue(s, n1, n2))
-        } else (0.0, 1.0)
-      // empty-side means surface as SQL NULL (not NaN) — what an external
-      // recompute's avg() over zero rows yields; the shift stays 0.0 there
-      // (meanDifference's NaN guard)
-      val mb = if (r.isNullAt(1)) Double.NaN else r.getDouble(1)
-      val sb = if (r.isNullAt(2)) Double.NaN else r.getDouble(2)
-      val mc = if (r.isNullAt(3)) Double.NaN else r.getDouble(3)
-      (name, d, p, if (mb.isNaN) None else Some(mb),
-        if (mc.isNaN) None else Some(mc),
-        Drift.meanDifference(mb, sb, mc), n1, n2, p < alpha)
-    }.sortBy(_._1).toSeq
-    out.toDF("group", "ks_stat", "ks_p", "mean_base", "mean_cur",
-      "mean_shift", "n_base", "n_cur", "drifted")
+        val out = moments.toSeq.map { case (cid, m) =>
+          val name = names(cid)
+          val (num, n1, n2) = ksByLane.getOrElse(cid, (0.0, 0L, 0L))
+          val (d, p) =
+            if (n1 > 0 && n2 > 0) {
+              val s = num / (n1.toDouble * n2.toDouble)
+              (s, DriftMath.ksPValue(s, n1, n2))
+            } else (0.0, 1.0)
+          // empty-side means surface as SQL NULL (not NaN) — what an
+          // external recompute's avg() over zero rows yields; the shift
+          // stays 0.0 there (meanDifference's NaN guard)
+          (name, d, p, if (m.m1.isNaN) None else Some(m.m1),
+            if (m.m2.isNaN) None else Some(m.m2),
+            Drift.meanDifference(m.m1, m.s1, m.m2), n1, n2, p < alpha)
+        }.sortBy(_._1)
+        out.toDF("group", "ks_stat", "ks_p", "mean_base", "mean_cur",
+          "mean_shift", "n_base", "n_cur", "drifted")
+      } finally counts.unpersist()
+    } finally gv.unpersist()
   }
 }

@@ -41,7 +41,7 @@ object KsTest {
     * are identified by their INDEX in `valueCols` so the melt shuffle
     * carries a 4-byte id instead of a repeated column-name string.
     */
-  private def distinctCounts(df: DataFrame, valueCols: Seq[String], isBaseline: Column): DataFrame = {
+  private[drift] def distinctCounts(df: DataFrame, valueCols: Seq[String], isBaseline: Column): DataFrame = {
     val structs = valueCols.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cid"), col(c).cast("double").as("v"))
     }
@@ -87,12 +87,17 @@ object KsTest {
       return Seq.empty[(Int, Double, Long, Long)].toDF("cid", "num", "n1", "n2")
         .select(col("cid"), col("num"), col("n1").cast("long"), col("n2").cast("long"))
     }
-    val boundsDf = bounds.toDF("cid", "bs")
-    // bucket = number of boundaries strictly below v
-    val withB = counts.join(broadcast(boundsDf), Seq("cid"))
-      .withColumn("bucket",
-        aggregate(col("bs"), lit(0), (acc, b) => acc + when(col("v") > b, 1).otherwise(0)))
-      .drop("bs")
+    // bucket = number of boundaries strictly below v. The boundaries are
+    // already driver-side literals, so the assignment is a codegen'd
+    // when-chain — the previous broadcast-join + `aggregate` HOF form paid
+    // an extra join AND interpreted per-element lambda evaluation over
+    // every distinct value (higher-order functions are CodegenFallback)
+    val bucketFor = bounds.foldLeft(lit(0)) { case (els, (cid, bs)) =>
+      val cnt = bs.distinct.sorted.foldLeft(lit(0))((acc, b) =>
+        acc + when(col("v") > b, 1).otherwise(0))
+      when(col("cid") === cid, cnt).otherwise(els)
+    }
+    val withB = counts.withColumn("bucket", bucketFor)
 
     // (b) per-bucket totals → cumulative offsets + grand totals via TINY
     // windows over ≤ buckets rows per column (partitioned by column — never

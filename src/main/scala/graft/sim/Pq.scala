@@ -200,7 +200,16 @@ object Pq {
         else {
           val s = r.getSeq[Any](1)
           if (s.length != dim || s.exists(_ == null)) None
-          else Some(r.getLong(0) -> s.map(_.asInstanceOf[Double]).toArray)
+          else {
+            val qv = s.map(_.asInstanceOf[Double]).toArray
+            // zero-norm queries are degenerate (IvfKernel's convention):
+            // they would score every code exactly 0.0 and fill their
+            // rerank quota with an arbitrary id-ascending cut — drop them
+            // like the scaladoc says, matching the null/width checks above
+            var n2 = 0.0; var t = 0
+            while (t < qv.length) { n2 += qv(t) * qv(t); t += 1 }
+            if (n2 == 0.0) None else Some(r.getLong(0) -> qv)
+          }
         }
       }
     require(qRows.nonEmpty, "adcCandidates: no valid query vectors")

@@ -62,9 +62,15 @@ object Monitoring {
     */
   def freshness(df: DataFrame, tsCol: String, groupCols: Seq[String],
                 thresholdSec: Long): DataFrame = {
-    val wm = df.agg(max(col(tsCol)).as("_watermark"))
-    df.groupBy(groupCols.map(col): _*)
+    // watermark = max over the per-group maxima — derived from the SAME
+    // grouped aggregate both branches share (identical subtree → Spark
+    // reuses one exchange, so the input is scanned once; the previous
+    // df.agg(max(ts)) form paid a second full scan of the timestamp
+    // column just for the watermark)
+    val grouped = df.groupBy(groupCols.map(col): _*)
       .agg(max(col(tsCol)).as("last_seen"))
+    val wm = grouped.agg(max(col("last_seen")).as("_watermark"))
+    grouped
       .crossJoin(broadcast(wm))
       .select(groupCols.map(col) ++ Seq(
         col("last_seen"),

@@ -202,8 +202,18 @@ object SuiteRunner {
     */
   def collectArtifacts(code: DataFrame, batches: Seq[Long],
                        lenCardCap: Long = LenCardCap): Map[Long, BatchArtifacts] = {
-    // content reduced ONCE to its cheap derivatives; content itself never shuffles
-    val slim = code
+    val slim = slimProjection(code, batches).persist()
+    try collectArtifactsFromSlim(slim, batches, lenCardCap)
+    finally slim.unpersist()
+  }
+
+  /** The one-content-scan projection both artifact jobs (and, inside
+    * [[run]], the violation/repo-metric jobs) share — `content` reduced
+    * ONCE to its cheap derivatives; content itself never shuffles. The
+    * caller owns persist/unpersist.
+    */
+  private[suite] def slimProjection(code: DataFrame, batches: Seq[Long]): DataFrame =
+    code
       .where(col("batch_id").isin(batches: _*))
       .select(col("batch_id"),
         length(col("content")).cast("long").as("len"),
@@ -225,8 +235,10 @@ object SuiteRunner {
             coalesce(col("commit"), lit("")).as("commit")))).as("key3"),
         xxhash64(col("repo"), col("path"), col("commit")).as("keyhash"),
         xxhash64(col("repo"), col("path"), col("commit"), col("content")).as("rowhash"))
-      .persist()
 
+  /** [[collectArtifacts]] over an already-persisted slim projection. */
+  private[suite] def collectArtifactsFromSlim(slim: DataFrame, batches: Seq[Long],
+                                              lenCardCap: Long): Map[Long, BatchArtifacts] = {
     // job 1: scalar aggregates per batch
     val scalars = slim.groupBy("batch_id").agg(
       count(lit(1)).as("rows"),
@@ -278,7 +290,6 @@ object SuiteRunner {
     val marginals =
       (if (maxLenCard > lenCardCap) langMarginal
        else langMarginal.unionByName(lenMarginal)).collect()
-    slim.unpersist()
     val langCounts = marginals.filter(_.getString(0) == "lang")
       .groupBy(_.getAs[Long]("batch_id"))
       .map { case (b, rows) =>
@@ -397,12 +408,22 @@ object SuiteRunner {
     val needed =
       if (baselineFromAudit.isDefined) pending
       else (pending :+ baselineBatch).distinct
-    val arts = collectArtifacts(code, needed, lenCardCap) ++
-      baselineFromAudit.map(b => b.batchId -> b)
-    val base = arts.getOrElse(baselineBatch, throw new IllegalArgumentException(
-      s"baseline batch $baselineBatch has no rows in the input (batches present: " +
-        s"${allBatches.mkString(", ")}) and no committed artifacts exist for it; " +
-        "include the baseline partition in the input or validate it first"))
+    // the slim projection stays persisted through the violation /
+    // repo-metric phase below: the uniqueness candidate hashes, the
+    // referential anti-join and the salted repo counts all read their
+    // columns from this cache instead of re-scanning the input (3 fewer
+    // full-table scans per run); unpersisted in the write-phase finally
+    val slim = slimProjection(code, needed).persist()
+    val (arts, base) =
+      try {
+        val a = collectArtifactsFromSlim(slim, needed, lenCardCap) ++
+          baselineFromAudit.map(b => b.batchId -> b)
+        val bl = a.getOrElse(baselineBatch, throw new IllegalArgumentException(
+          s"baseline batch $baselineBatch has no rows in the input (batches present: " +
+            s"${allBatches.mkString(", ")}) and no committed artifacts exist for it; " +
+            "include the baseline partition in the input or validate it first"))
+        (a, bl)
+      } catch { case e: Throwable => slim.unpersist(blocking = false); throw e }
     val basePropLen = histProportions(base.lenCounts, base.lenMin, base.lenMax)
 
     // shared violation jobs, batch-attributed, capped deterministically.
@@ -415,6 +436,7 @@ object SuiteRunner {
     // 32·cap rows; under streaming the foldable batch_id makes Spark log a
     // partition-less-window warning for it — bounded rows, harmless.)
     val pendingCode = code.where(col("batch_id").isin(pending: _*))
+    val slimPending = slim.where(col("batch_id").isin(pending: _*))
     val keyOrder = Seq(col("repo"), col("path"), col("commit"))
     val keySalt = pmod(xxhash64(col("repo"), col("path"), col("commit")), lit(32))
     val keyW1 = Window.partitionBy(col("batch_id"), keySalt).orderBy(keyOrder: _*)
@@ -422,13 +444,15 @@ object SuiteRunner {
 
     // Uniqueness, two-phase hash-first: phase 1 shuffles only a 64-bit key
     // hash (not the ~100-byte string triple — 6× less shuffle I/O at 8M
-    // rows); phase 2 re-verifies candidate groups on the REAL key strings
+    // rows) and reads it straight from the CACHED slim projection (the
+    // keyhash was computed in the artifacts scan — no input re-scan);
+    // phase 2 re-verifies candidate groups on the REAL key strings
     // over the (tiny) semi-joined candidate rows, so a hash collision can
     // never produce a false duplicate. Result is persisted once and feeds
     // both the verdict counts and the capped sample.
     val keyHash = xxhash64(col("repo"), col("path"), col("commit"))
-    val candHashes = pendingCode
-      .groupBy(col("batch_id"), keyHash.as("kh")).agg(count(lit(1)).as("c"))
+    val candHashes = slimPending
+      .groupBy(col("batch_id"), col("keyhash").as("kh")).agg(count(lit(1)).as("c"))
       .where(col("c") > 1).select("batch_id", "kh")
     // no broadcast HINT here: the candidate set's size is data-dependent
     // (normally tiny → AQE broadcasts it at runtime; adversarially
@@ -446,8 +470,9 @@ object SuiteRunner {
       .where(col("rn") <= ViolationCap).drop("rn")
 
     // referential: the violating (repo, lang) groups are tiny — aggregate
-    // once, persist, derive counts + sample without a second scan
-    val refViol = pendingCode.select("batch_id", "repo", "lang")
+    // once over the CACHED slim columns (no input re-scan), persist,
+    // derive counts + sample without a second scan
+    val refViol = slimPending.select("batch_id", "repo", "lang")
       .join(broadcast(repoLangDim.select("repo", "lang").distinct()), Seq("repo", "lang"), "left_anti")
       .groupBy("batch_id", "repo", "lang")
       .agg(count(lit(1)).as("violation_count")).persist()
@@ -574,19 +599,44 @@ object SuiteRunner {
     // exactness never depends on the hot set (SaltingSpec law).
     val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val pendingRows = pending.map(b => arts(b).rows).sum
-    val hotRepos: Seq[String] = pending.map(b => arts(b).freqRepo)
+    val hotThreshold = math.max(1L, pendingRows / math.max(1, shuffleParts))
+    val mergedFreq = pending.map(b => arts(b).freqRepo)
       .filter(_.nonEmpty).reduceOption(graft.stats.FreqSketch.mergeBytes)
-      .map(graft.stats.FreqSketch.hotKeys(_,
-        math.max(1L, pendingRows / math.max(1, shuffleParts))))
-      .getOrElse(Seq.empty)
+    // NO_FALSE_NEGATIVES holds only while threshold > the sketch's ACTUAL
+    // maximum error: getFrequentItems clamps the threshold UP to
+    // getMaximumError, so with FreqMapSize=1024 and shuffle partitions in
+    // the hundreds (the target-scale config) a truly reducer-filling repo
+    // with count in [threshold, maxError) would be silently unnamed and
+    // unsalted. When the guarantee degrades, fall back to STATIC salting
+    // (salt every key — exactness is salt-invariant, only the level-1
+    // partial volume grows) and say so loudly.
+    val freqMaxError = mergedFreq
+      .map(b => graft.stats.FreqSketch.heapify(b).getMaximumError).getOrElse(0L)
+    val staticSaltFallback = freqMaxError >= hotThreshold
+    if (staticSaltFallback)
+      System.err.println(s"[graft] adaptive salting DEGRADED to static: the " +
+        s"freq sketch's max error ($freqMaxError) reaches the hot-repo " +
+        s"threshold ($hotThreshold) so NO_FALSE_NEGATIVES cannot hold; " +
+        s"salting every repo key (exactness unaffected; raise FreqMapSize " +
+        s"to ~2x shuffle partitions to restore the adaptive path)")
+    val hotRepos: Seq[String] =
+      if (staticSaltFallback) Seq.empty
+      else mergedFreq.map(graft.stats.FreqSketch.hotKeys(_, hotThreshold))
+        .getOrElse(Seq.empty)
     if (hotRepos.nonEmpty)
       System.err.println(s"[graft] adaptive salting: ${hotRepos.size} hot repo(s) " +
-        s"named by the freq sketch at threshold ${math.max(1L, pendingRows / math.max(1, shuffleParts))}: " +
+        s"named by the freq sketch at threshold $hotThreshold: " +
         hotRepos.take(5).mkString(", ") + (if (hotRepos.size > 5) ", …" else ""))
-    val repoMetrics = pendingCode
+    // salt source = the keyhash already cached in the slim projection (any
+    // salt assignment is exactness-neutral — the two-level aggregate is a
+    // homomorphism; SaltingSpec law), so this whole stage reads the cache,
+    // never the input table
+    val repoMetrics = slimPending
       .groupBy(col("batch_id"), col("repo"),
-        Salting.adaptiveSaltCol(col("repo"), hotRepos, SaltBuckets,
-          Seq(col("path"), col("commit"))).as("_salt"))
+        (if (staticSaltFallback) pmod(col("keyhash"), lit(SaltBuckets))
+         else if (hotRepos.isEmpty) lit(0)
+         else when(col("repo").isin(hotRepos: _*),
+           pmod(col("keyhash"), lit(SaltBuckets))).otherwise(lit(0))).as("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col("batch_id"), col("repo"))
       .agg(sum("_partial").as("file_count"))
@@ -647,6 +697,7 @@ object SuiteRunner {
       pool.shutdownNow()
       dupViol.unpersist()
       refViol.unpersist()
+      slim.unpersist()
     }
 
     // lineage wall_ms: whole run INCLUDING the audit writes above (even

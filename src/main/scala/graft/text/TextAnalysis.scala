@@ -10,19 +10,26 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count; empty/blank text counts 0 tokens. */
+  /** Whitespace token count; empty/blank text counts 0 tokens.
+    * `regexp_count(\S+)` = the number of whitespace-delimited words, in
+    * one regex pass with no array allocation (the previous
+    * `size(split(trim, "\s+"))` built a token array per row just to take
+    * its length).
+    */
   def tokenCount(text: Column): Column =
     when(trim(text) === "" || text.isNull, 0)
-      .otherwise(size(split(trim(text), "\\s+")))
+      .otherwise(regexp_count(text, lit("\\S+")))
 
   /** BPE-ish subword count: word-piece segments of ≤4 chars — a cheap,
     * deterministic proxy for tokenizer budgeting: ceil(len(word)/4) summed.
-    * Equivalent closed form: Σ ceil(len/4) = Σ floor((len+3)/4).
+    * Computed as `regexp_count(\S{1,4})`: greedy matching tiles each
+    * maximal non-space run of length l with exactly ceil(l/4) matches, so
+    * one codegen'd regex pass replaces the per-word interpreted
+    * higher-order `aggregate` lambda (HOFs are CodegenFallback).
     */
   def subwordCount(text: Column): Column =
-    when(trim(text) === "" || text.isNull, 0L).otherwise(
-      aggregate(split(trim(text), "\\s+"), lit(0L),
-        (acc, w) => acc + floor((length(w) + 3) / 4)))
+    when(trim(text) === "" || text.isNull, 0L)
+      .otherwise(regexp_count(text, lit("\\S{1,4}")).cast("long"))
 
   private val Stopwords = Map(
     "en" -> Seq("the", "and", "of", "to", "is"),
@@ -36,6 +43,16 @@ object TextAnalysis {
   private def wordHits(text: Column, w: String): Column =
     regexp_count(lower(text), lit(s"\\b$w\\b"))
 
+  /** Total whole-word occurrences of ANY word in `ws`, as ONE alternation
+    * regex pass. Equal to Σ [[wordHits]] over the set: `\b…\b` matches are
+    * disjoint whole words and each whole word equals at most one member,
+    * so the alternation count is exactly the per-word sum — in 1 regex
+    * scan of the text instead of |ws| (the DuckDB oracles already compute
+    * these scores with the same alternation form).
+    */
+  private def wordSetHits(text: Column, ws: Seq[String]): Column =
+    regexp_count(lower(text), lit(ws.mkString("\\b(", "|", ")\\b")))
+
   /** n-gram/stopword-heuristic language ID over {en, es, de, fr, zh}:
     * zh iff any CJK codepoint; otherwise argmax of stopword-marker hits
     * with deterministic tie-break (en > es > de > fr); "und" (undetermined)
@@ -43,7 +60,7 @@ object TextAnalysis {
     */
   def langId(text: Column): Column = {
     val scores = Seq("en", "es", "de", "fr").map { l =>
-      l -> Stopwords(l).map(w => wordHits(text, w)).reduce(_ + _)
+      l -> wordSetHits(text, Stopwords(l))
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val pick = scores.reverse.foldLeft(lit("und"): Column) { case (els, (l, s)) =>
@@ -63,8 +80,8 @@ object TextAnalysis {
     val wc = tokenCount(text).cast("double")
     val chars = length(text).cast("double")
     val punct = (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("double")
-    val stopHits = Stopwords.values.flatten.toSeq.distinct.sorted
-      .map(w => wordHits(text, w)).reduce(_ + _).cast("double")
+    val stopHits = wordSetHits(text,
+      Stopwords.values.flatten.toSeq.distinct.sorted).cast("double")
     val punctRatio = when(chars > 0, punct / chars).otherwise(0.0)
     val stopRatio = when(wc > 0, stopHits / wc).otherwise(0.0)
     Seq(

@@ -41,6 +41,34 @@ class DedupSpec extends GraftSpec {
     (4L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 1
   ).toDF("doc_id", "text")
 
+  test("shingle kernel: bit-parity with the Column-composed form") {
+    // the native WordGramHashes kernel must reproduce
+    // array_distinct(transform(sequence(...), i => xxhash64(concat_ws(" ",
+    // slice(words, i+1, n))))) over split(normalize, " ") BIT-FOR-BIT —
+    // including the <n-words whole-text hash, empty/blank/null inputs,
+    // unicode text, and first-occurrence dedup order
+    import graft.text.TextAnalysis
+    def composed(text: org.apache.spark.sql.Column, n: Int) = {
+      val words = split(TextAnalysis.normalize(text), " ")
+      val grams = when(size(words) < n, array(xxhash64(TextAnalysis.normalize(text))))
+        .otherwise(transform(sequence(lit(0), size(words) - n),
+          i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(n))))))
+      array_distinct(grams)
+    }
+    val cases = docs.select(col("doc_id"), col("text"))
+      .unionByName(Seq((100L, ""), (101L, "one"), (102L, "one two"),
+        (103L, "a a a a a b a a a"), (104L, "héllo wörld ünïcode 文字 here"),
+        (105L, "  padded -- punct!! runs "), (106L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    for (n <- Seq(1, 2, 3, 5)) {
+      val bad = cases.select(
+          Dedup.shingleHashes(col("text"), n).as("kernel"),
+          composed(col("text"), n).as("composed"))
+        .where(!(col("kernel") <=> col("composed"))).count()
+      assert(bad == 0L, s"kernel diverges from composed form at n=$n")
+    }
+  }
+
   test("exact jaccard: identical docs = 1.0, disjoint docs = 0") {
     val sh = docs.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
     val j = sh.as("a").crossJoin(sh.as("b"))
