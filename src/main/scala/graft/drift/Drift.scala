@@ -251,54 +251,85 @@ object Drift {
     */
   private[drift] case class Sides(n1: Long, m1: Double, s1: Double, n2: Long, m2: Double)
 
-  /** Exact per-lane moments from a (cid, v, c1, c2) distinct-count table
-    * (two bounded jobs over the persisted counts — the full input is never
-    * re-read). The sample std uses a mean-shifted second pass, so a
-    * constant-valued lane yields exactly 0.0 (stddev_samp parity) and the
-    * naive Σv² − n·μ² cancellation never fires; a single-value lane yields
-    * NaN and an empty lane NaN mean, both matching stddev_samp/avg over
-    * zero/one rows.
+  /** First-pass per-lane aggregates over a (cid, v, c1, c2) distinct-count
+    * table — counts, exact weighted means, baseline [lo, hi] — PLUS the
+    * exact-KS boundary percentiles, all in ONE collect (each driver action
+    * pays its own planning + scheduling latency, the measured fixed cost
+    * that dominates these operators at small input).
     */
-  private[drift] def momentsFromCounts(numCounts: DataFrame): Map[Int, Sides] = {
-    val first = numCounts.groupBy("cid").agg(
+  private[drift] case class LaneFirst(n1: Long, m1: Double, lo1: Double,
+                                      hi1: Double, n2: Long, m2: Double,
+                                      bounds: Seq[Double])
+
+  private[drift] def laneFirstPass(numCounts: DataFrame, buckets: Int): Map[Int, LaneFirst] =
+    numCounts.groupBy("cid").agg(
       sum("c1").as("n1"), sum(col("v") * col("c1")).as("S1"),
       min(when(col("c1") > 0, col("v"))).as("lo1"),
       max(when(col("c1") > 0, col("v"))).as("hi1"),
-      sum("c2").as("n2"), sum(col("v") * col("c2")).as("S2")).collect()
-    if (first.isEmpty) return Map.empty
-    case class FirstPass(n1: Long, m1: Double, lo1: Double, hi1: Double,
-                         n2: Long, m2: Double)
-    val fp = first.map { r =>
-      val n1 = r.getLong(1); val n2 = r.getLong(5)
-      r.getInt(0) -> FirstPass(n1,
-        if (n1 > 0) r.getDouble(2) / n1 else Double.NaN,
-        if (r.isNullAt(3)) Double.NaN else r.getDouble(3),
-        if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
-        n2, if (n2 > 0) r.getDouble(6) / n2 else Double.NaN)
-    }.toMap
-    // second pass: baseline-side Σ c1·(v − μ)² with per-lane μ as literals
-    val needStd = fp.filter { case (_, f) => f.n1 > 1 && f.lo1 != f.hi1 }
-    val m2ByCid: Map[Int, Double] =
-      if (needStd.isEmpty) Map.empty
-      else {
-        val shift = needStd.foldLeft(lit(0.0)) { case (els, (cid, f)) =>
-          when(col("cid") === cid, lit(f.m1)).otherwise(els)
-        }
-        numCounts.where(col("c1") > 0 &&
-            col("cid").isin(needStd.keys.toSeq.map(Int.box): _*))
-          .select(col("cid"),
-            ((col("v") - shift) * (col("v") - shift) * col("c1")).as("d2"))
-          .groupBy("cid").agg(sum("d2").as("M2")).collect()
-          .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      sum("c2").as("n2"), sum(col("v") * col("c2")).as("S2"),
+      KsTest.boundaryAgg(buckets).as("bs")).collect()
+      .map { r =>
+        val n1 = r.getLong(1); val n2 = r.getLong(5)
+        r.getInt(0) -> LaneFirst(n1,
+          if (n1 > 0) r.getDouble(2) / n1 else Double.NaN,
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
+          n2, if (n2 > 0) r.getDouble(6) / n2 else Double.NaN,
+          r.getSeq[Double](7).toSeq)
+      }.toMap
+
+  /** Second pass: baseline-side Σ c1·(v − μ)² per lane with the per-lane μ
+    * as literals — the mean-shifted form, so the naive Σv² − n·μ²
+    * cancellation never fires. Only lanes in `shifts` are aggregated.
+    */
+  private[drift] def laneM2(numCounts: DataFrame, shifts: Map[Int, Double]): Map[Int, Double] =
+    if (shifts.isEmpty) Map.empty
+    else {
+      val shift = shifts.foldLeft(lit(0.0)) { case (els, (cid, mu)) =>
+        when(col("cid") === cid, lit(mu)).otherwise(els)
       }
-    fp.map { case (cid, f) =>
+      numCounts.where(col("c1") > 0 &&
+          col("cid").isin(shifts.keys.toSeq.map(Int.box): _*))
+        .select(col("cid"),
+          ((col("v") - shift) * (col("v") - shift) * col("c1")).as("d2"))
+        .groupBy("cid").agg(sum("d2").as("M2")).collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    }
+
+  /** Lanes whose sample std needs the M2 pass: >1 baseline row and a
+    * non-constant value set (constant lanes are exactly 0, like Welford;
+    * 0/1-row lanes are NaN, matching stddev_samp over 0/1 rows).
+    */
+  private[drift] def stdShifts(first: Map[Int, LaneFirst]): Map[Int, Double] =
+    first.collect { case (cid, f) if f.n1 > 1 && f.lo1 != f.hi1 => cid -> f.m1 }
+
+  private[drift] def sidesFrom(first: Map[Int, LaneFirst],
+                               m2ByCid: Map[Int, Double]): Map[Int, Sides] =
+    first.map { case (cid, f) =>
       val s1 =
         if (f.n1 <= 1) Double.NaN // stddev_samp: 0 rows → null, 1 row → NaN
         else if (f.lo1 == f.hi1) 0.0 // constant lane — exactly 0 like Welford
         else math.sqrt(math.max(0.0, m2ByCid.getOrElse(cid, 0.0)) / (f.n1 - 1))
       cid -> Sides(f.n1, f.m1, s1, f.n2, f.m2)
     }
-  }
+
+  /** Run independent driver actions over a shared persisted table
+    * CONCURRENTLY (Spark's scheduler interleaves jobs from multiple
+    * submitter threads): wall = the slowest job instead of the sum — the
+    * [[graft.suite.SuiteRunner]] audit-write pattern applied to the
+    * drift tails.
+    */
+  private[drift] def inParallel[A](fs: Seq[() => A]): Seq[A] =
+    if (fs.lengthCompare(1) <= 0) fs.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
+      try {
+        val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val futs = fs.map(f => scala.concurrent.Future(f())(ec))
+        futs.map(scala.concurrent.Await.result(_,
+          scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdownNow()
+    }
 
   /** Full drift report over numeric columns (KS, reference DriftDetector
     * semantics) + optional categorical columns (chi-square), baseline vs
@@ -350,63 +381,70 @@ object Drift {
       .agg(sum("s1").as("c1"), sum("s2").as("c2")).persist()
     try {
       val numCounts = counts.where(col("cid") < nN).select("cid", "v", "c1", "c2")
-      // moments per numeric column (2 bounded jobs; the first materializes
-      // the shared melt)
-      val sidesByCid = if (nN == 0) Map.empty[Int, Sides] else momentsFromCounts(numCounts)
+      // action 1 (materializes the shared melt): per-lane counts, exact
+      // weighted means, [lo, hi] AND the KS boundary percentiles — one
+      // groupBy(cid) collect serves the moments and the max-gap machinery
+      val first = if (nN == 0) Map.empty[Int, LaneFirst]
+        else laneFirstPass(numCounts, 32)
+
+      // ksCols = columns populated on both sides (the skip rule)
+      val ksCols = numericCols.zipWithIndex.filter { case (_, i) =>
+        first.get(i).exists(f => f.n1 > 0 && f.n2 > 0)
+      }
+      val liveCids = ksCols.map(_._2)
+
+      // the three remaining jobs — KS max gap, the shifted-M2 std pass and
+      // the capped categorical counts — are independent reads of the same
+      // persisted counts table: submit them concurrently (wall = slowest,
+      // not the sum)
+      val shifts = stdShifts(first)
+      var ksRows: Array[org.apache.spark.sql.Row] = Array.empty
+      var m2ByCid: Map[Int, Double] = Map.empty
+      var catCnts: Map[String, Array[(String, Long, Long)]] = Map.empty
+      val jobs = Seq.newBuilder[() => Unit]
+      if (liveCids.nonEmpty) jobs += { () =>
+        ksRows = KsTest.ksMaxGapFromCounts(
+          numCounts.where(col("cid").isin(liveCids.map(Int.box): _*)), 32,
+          Some(first.toSeq.map { case (cid, f) => cid -> f.bounds })).collect()
+      }
+      if (shifts.nonEmpty) jobs += { () => m2ByCid = laneM2(numCounts, shifts) }
+      if (catCols.nonEmpty) jobs += { () =>
+        val nameFor = catCols.zipWithIndex.foldLeft(lit(null).cast("string")) {
+          case (els, (c, i)) => when(col("cid") === (nN + i), lit(c)).otherwise(els)
+        }
+        val grouped = counts.where(col("cid") >= nN)
+          .select(nameFor.as("name"), col("vs").as("v"), col("c1"), col("c2"))
+        catCnts = cappedCatCounts(grouped, catCols, CatTopK)
+      }
+      inParallel(jobs.result())
+
+      val sidesByCid = sidesFrom(first, m2ByCid)
       val sides: Map[String, Sides] = numericCols.zipWithIndex.map { case (c, i) =>
         c -> sidesByCid.getOrElse(i, Sides(0L, Double.NaN, Double.NaN, 0L, Double.NaN))
       }.toMap
-
-      // exact KS over columns populated on both sides (boundary percentiles
-      // + the single final max-gap job, both over the persisted counts)
-      val ksCols = numericCols.filter(c => sides(c).n1 > 0 && sides(c).n2 > 0)
-      val ksByCol: Map[String, KsTest.KsResult] =
-        if (ksCols.isEmpty) Map.empty
-        else {
-          val liveCids = numericCols.zipWithIndex
-            .filter { case (c, _) => ksCols.contains(c) }.map(_._2)
-          val rows = KsTest.ksMaxGapFromCounts(
-            numCounts.where(col("cid").isin(liveCids.map(Int.box): _*)), 32).collect()
-          val byCid = rows.map(r => r.getInt(0) ->
-            ((if (r.isNullAt(1)) 0.0 else r.getDouble(1)), r.getLong(2), r.getLong(3))).toMap
-          numericCols.zipWithIndex.flatMap { case (c, i) =>
-            byCid.get(i).map { case (num, n1, n2) =>
-              val d = if (n1 > 0 && n2 > 0) num / (n1.toDouble * n2.toDouble) else 0.0
-              c -> KsTest.KsResult(d,
-                if (n1 > 0 && n2 > 0) DriftMath.ksPValue(d, n1, n2) else 1.0, n1, n2)
-            }
-          }.toMap
-        }
-      val ksDrift = ksCols.flatMap { c =>
-        ksByCol.get(c).map { ks =>
+      val ksByCid = ksRows.map(r => r.getInt(0) ->
+        ((if (r.isNullAt(1)) 0.0 else r.getDouble(1)), r.getLong(2), r.getLong(3))).toMap
+      val ksDrift = ksCols.flatMap { case (c, i) =>
+        ksByCid.get(i).map { case (num, n1, n2) =>
+          val d = if (n1 > 0 && n2 > 0) num / (n1.toDouble * n2.toDouble) else 0.0
+          val p = if (n1 > 0 && n2 > 0) DriftMath.ksPValue(d, n1, n2) else 1.0
           val s = sides(c)
-          ColumnDrift(c, "ks", ks.statistic, ks.pValue, ks.pValue < ksThreshold,
-            meanDifference(s.m1, s.s1, s.m2), ks.n1, ks.n2)
+          ColumnDrift(c, "ks", d, p, p < ksThreshold,
+            meanDifference(s.m1, s.s1, s.m2), n1, n2)
         }
       }
 
-      // categorical lanes: capped counts over the SAME persisted table
-      // (salted two-phase top-K — [[cappedCatCounts]])
-      val catDrift: Seq[ColumnDrift] =
-        if (catCols.isEmpty) Seq.empty
-        else {
-          val nameFor = catCols.zipWithIndex.foldLeft(lit(null).cast("string")) {
-            case (els, (c, i)) => when(col("cid") === (nN + i), lit(c)).otherwise(els)
-          }
-          val grouped = counts.where(col("cid") >= nN)
-            .select(nameFor.as("name"), col("vs").as("v"), col("c1"), col("c2"))
-          cappedCatCounts(grouped, catCols, CatTopK).toSeq
-            .sortBy { case (c, _) => catCols.indexOf(c) }
-            .map { case (c, cnts) =>
-              val ref = cnts.map(r => r._1 -> r._2).toMap
-              val cur = cnts.map(r => r._1 -> r._3).toMap
-              val (stat, p, _) = chiSqGof(ref, cur)
-              // n_ref/n_cur are THIS column's non-null counts (the tail fold
-              // preserves per-side sums), not the first numeric column's — a
-              // cat-only detect() must not report sample sizes of 0
-              ColumnDrift(c, "chisq", stat, p, p < ChiSqThreshold, 0.0,
-                cnts.map(_._2).sum, cnts.map(_._3).sum)
-            }
+      val catDrift: Seq[ColumnDrift] = catCnts.toSeq
+        .sortBy { case (c, _) => catCols.indexOf(c) }
+        .map { case (c, cnts) =>
+          val ref = cnts.map(r => r._1 -> r._2).toMap
+          val cur = cnts.map(r => r._1 -> r._3).toMap
+          val (stat, p, _) = chiSqGof(ref, cur)
+          // n_ref/n_cur are THIS column's non-null counts (the tail fold
+          // preserves per-side sums), not the first numeric column's — a
+          // cat-only detect() must not report sample sizes of 0
+          ColumnDrift(c, "chisq", stat, p, p < ChiSqThreshold, 0.0,
+            cnts.map(_._2).sum, cnts.map(_._3).sum)
         }
 
       val all = ksDrift ++ catDrift

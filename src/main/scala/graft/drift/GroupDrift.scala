@@ -103,13 +103,26 @@ object GroupDrift {
         .groupBy("cid", "v").agg(sum("c1").as("c1"), sum("c2").as("c2"))
         .persist()
       try {
-        val ksByLane = KsTest.ksMaxGapFromCounts(counts, 32).collect()
+        // action: per-lane first-pass moments + KS boundary percentiles in
+        // ONE collect (materializes counts); then the max-gap job and the
+        // shifted-M2 std job run CONCURRENTLY over the persisted table
+        val first = Drift.laneFirstPass(counts, 32)
+        val shifts = Drift.stdShifts(first)
+        var ksRows: Array[org.apache.spark.sql.Row] = Array.empty
+        var m2ByCid: Map[Int, Double] = Map.empty
+        val jobs = Seq.newBuilder[() => Unit]
+        jobs += { () =>
+          ksRows = KsTest.ksMaxGapFromCounts(counts, 32,
+            Some(first.toSeq.map { case (cid, f) => cid -> f.bounds })).collect()
+        }
+        if (shifts.nonEmpty) jobs += { () => m2ByCid = Drift.laneM2(counts, shifts) }
+        Drift.inParallel(jobs.result())
+        val ksByLane = ksRows
           .map(r => r.getInt(0) ->
             ((if (r.isNullAt(1)) 0.0 else r.getDouble(1)), r.getLong(2), r.getLong(3)))
           .toMap
-        // per-lane moments from the same counts table (2 bounded jobs; a
-        // constant-valued lane yields std exactly 0, stddev_samp parity)
-        val moments = Drift.momentsFromCounts(counts)
+        // a constant-valued lane yields std exactly 0 (stddev_samp parity)
+        val moments = Drift.sidesFrom(first, m2ByCid)
 
         val out = moments.toSeq.map { case (cid, m) =>
           val name = names(cid)

@@ -68,21 +68,32 @@ object KsTest {
     * table. Runs ONE driver action itself (the boundary percentiles); the
     * returned DataFrame is the single final job.
     */
+  /** The boundary-percentile aggregate column of the max-gap machinery —
+    * exposed so callers that already run a groupBy("cid") collect over the
+    * counts (detect's moments pass, GroupDrift's) can ride the boundaries
+    * on that SAME action instead of paying a separate job.
+    */
+  private[drift] def boundaryAgg(buckets: Int): Column =
+    percentile_approx(col("v"),
+      typedlit((1 until buckets).map(_.toDouble / buckets)), lit(1000))
+
   // package-private: [[GroupDrift]] feeds lane-keyed counts (lanes =
   // groups instead of melted columns) through the same two-phase machinery
-  private[drift] def ksMaxGapFromCounts(counts: DataFrame, buckets: Int): DataFrame = {
+  private[drift] def ksMaxGapFromCounts(counts: DataFrame, buckets: Int,
+      precomputedBounds: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val spark = counts.sparkSession
     import spark.implicits._
 
     // (a) range boundaries per column, equi-depth over DISTINCT values.
     // Boundary PRECISION is irrelevant to correctness — boundaries only
     // balance the window partitions — so a coarse sketch (accuracy 1000)
-    // keeps this job cheap at any cardinality.
-    val qs = (1 until buckets).map(_.toDouble / buckets)
-    val boundRows = counts.groupBy("cid")
-      .agg(percentile_approx(col("v"), typedlit(qs), lit(1000)).as("bs"))
-      .collect()
-    val bounds = boundRows.map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
+    // keeps this job cheap at any cardinality. Callers holding a
+    // counts-wide collect already (detect, GroupDrift) pass the
+    // boundaries in and skip this action entirely.
+    val bounds = precomputedBounds.getOrElse {
+      counts.groupBy("cid").agg(boundaryAgg(buckets).as("bs")).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
+    }
     if (bounds.isEmpty) {
       return Seq.empty[(Int, Double, Long, Long)].toDF("cid", "num", "n1", "n2")
         .select(col("cid"), col("num"), col("n1").cast("long"), col("n2").cast("long"))
