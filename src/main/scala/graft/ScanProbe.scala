@@ -8,7 +8,7 @@ object ScanProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = spark.read.parquet("/tmp/graft_bench_input_64000000")
+    val df = spark.read.parquet("/tmp/graft_bench_input_8000000")
     def t(name: String)(f: => Any): Unit = (1 to 3).foreach { i =>
       val t0 = System.nanoTime(); f
       println(f"[scan] $name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")

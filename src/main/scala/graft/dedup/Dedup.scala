@@ -376,15 +376,17 @@ object Dedup {
 
   // ------------------------------------------------------------- embeddings
 
-  /** Cosine similarity of two float-array columns (zip_with dot product —
-    * codegen'd, no UDF).
+  /** Cosine similarity of two double-array columns — native one-pass
+    * kernel ([[VectorKernel.cosine]]): the previous
+    * `aggregate(zip_with(...))` composition evaluated interpreted (HOFs
+    * are CodegenFallback) and computed THREE boxed folds per row.
+    * Bit-parity with the composed form — accumulation order and all
+    * null/empty/zero-norm edges — pinned by DedupSpec.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
-    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
-    when(denom === 0, 0.0).otherwise(dot(a, b) / denom)
-  }
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(CosineSim(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(a.cast("array<double>")),
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(b.cast("array<double>"))))
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Candidates come
     * from MULTI-TABLE sign-LSH buckets (independent hyperplane sets per
@@ -628,15 +630,14 @@ object Dedup {
     * `table` selects an independent hyperplane set for multi-table banding.
     */
   def signLshSignature(v: Column, bits: Int, table: Int = 0): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), j => {
-        val dotJ = aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1),
-            (x, i) => x * when(xxhash64(lit(table), j, i).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
-          lit(0.0d), (acc, x) => acc + x)
-        when(dotJ > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    // native one-pass kernel (VectorKernel.signLsh) — the composed
+    // aggregate(transform(aggregate(zip_with(...)))) nest evaluated
+    // interpreted per (bit, element) with boxed xxhash64 calls; the kernel
+    // reproduces the identical seed-chained XXH64.hashInt hyperplane signs
+    // and the null/empty -> 0L signature semantics (DedupSpec parity law)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(SignLshSig(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(v.cast("array<double>")),
+      bits, table))
 
   // ---------------------------------------------------------- boilerplate
 

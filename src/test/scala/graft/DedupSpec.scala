@@ -69,6 +69,50 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("vector kernels: bit-parity with the Column-composed forms") {
+    // CosineSim / SignLshSig must reproduce the aggregate(zip_with(...))
+    // compositions bit-for-bit: accumulation order, null/empty/zero-norm
+    // edges, and the null-element -> signature 0L fold
+    def cosineComposed(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+      val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+      when(denom === 0, 0.0).otherwise(dot(a, b) / denom)
+    }
+    def lshComposed(v: org.apache.spark.sql.Column, bits: Int, table: Int) =
+      aggregate(
+        transform(sequence(lit(0), lit(bits - 1)), j => {
+          val dotJ = aggregate(
+            zip_with(v, sequence(lit(0), size(v) - 1),
+              (x, i) => x * when(xxhash64(lit(table), j, i).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+            lit(0.0d), (acc, x) => acc + x)
+          when(dotJ > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
+        }),
+        lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 50).map(i => (i.toLong,
+        Seq.fill(16)(rnd.nextGaussian()), Seq.fill(16)(rnd.nextGaussian()))) ++
+      Seq((100L, Seq.empty[Double], Seq.empty[Double]),
+        (101L, Seq(0.0, 0.0), Seq(1.0, 2.0)),          // zero-norm side
+        (102L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)),     // width mismatch
+        (103L, null.asInstanceOf[Seq[Double]], Seq(1.0, 2.0)))
+    val df = vecs.toDF("id", "a", "b")
+      .select(col("id"), col("a").cast("array<double>").as("a"),
+        col("b").cast("array<double>").as("b"))
+    val badCos = df.select(
+        Dedup.cosine(col("a"), col("b")).as("k"),
+        cosineComposed(col("a"), col("b")).as("c"))
+      .where(!(col("k") <=> col("c"))).count()
+    assert(badCos == 0L, "cosine kernel diverges from the composed form")
+    for ((bits, table) <- Seq((8, 0), (16, 3), (64, 1))) {
+      val badLsh = df.select(
+          Dedup.signLshSignature(col("a"), bits, table).as("k"),
+          lshComposed(col("a"), bits, table).as("c"))
+        .where(!(col("k") <=> col("c"))).count()
+      assert(badLsh == 0L, s"signLsh kernel diverges at bits=$bits table=$table")
+    }
+  }
+
   test("exact jaccard: identical docs = 1.0, disjoint docs = 0") {
     val sh = docs.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
     val j = sh.as("a").crossJoin(sh.as("b"))
