@@ -96,6 +96,30 @@ object BenchExtra {
     results("components_1m_edges_warm") = componentsOnce()
     edges.unpersist()
 
+    // exact quota sampling over the 8M bench code table (the paired
+    // 8↔32 scaling leg for G3 — run this main at SPARK_GRAFT_CPUS=8 and
+    // =32 on the same pinned input, VERDICT r5 task 6). Deterministic:
+    // hash-ranked two-phase bucketed cut, no randomness.
+    val codeInput = sys.env.getOrElse("SPARK_GRAFT_INPUT",
+      "/tmp/graft_bench_input_8000000")
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(codeInput))) {
+      spark.sparkContext.setJobDescription("extra:quota_8m")
+      val code = spark.read.parquet(codeInput)
+      val langs = code.select("lang").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val quotas = langs.map(l => l -> 100000L).toMap
+      def quotaOnce(): Double = {
+        spark.catalog.clearCache()
+        time {
+          sample.Sampling.quotaByHash(code, "lang", quotas,
+            Seq("repo", "path", "commit"), buckets = 64)
+            .write.mode("overwrite").format("noop").save()
+        }
+      }
+      results("quota_8m") = quotaOnce()
+      results("quota_8m_warm") = quotaOnce()
+    }
+
     val stampAfter = cpuStamp()
     val loadAfter = loadavg()
     def num(v: Double): String =
@@ -107,7 +131,8 @@ object BenchExtra {
       s""""sf":"$sfDir","cpus":$cpus,"runs":$runs}"""
     val outDir = java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."), "BENCH")
     java.nio.file.Files.createDirectories(outDir)
-    java.nio.file.Files.writeString(outDir.resolve("bench_extra_r6.json"), json + "\n")
+    java.nio.file.Files.writeString(
+      outDir.resolve(s"bench_extra_r6_cpus$cpus.json"), json + "\n")
     spark.stop()
     println(json)
   }

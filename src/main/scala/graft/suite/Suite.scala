@@ -477,17 +477,6 @@ object SuiteRunner {
       .groupBy("batch_id", "repo", "lang")
       .agg(count(lit(1)).as("violation_count")).persist()
 
-    // one union action collects BOTH violation-count maps and materializes
-    // both persisted tables' stages concurrently
-    val violCountRows = dupViol.groupBy("batch_id")
-      .agg(sum(col("dup_count") - 1).as("n")).withColumn("kind", lit("dup"))
-      .unionByName(refViol.groupBy("batch_id")
-        .agg(sum("violation_count").as("n")).withColumn("kind", lit("ref")))
-      .collect()
-    val dupCounts = violCountRows.filter(_.getString(2) == "dup")
-      .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("n")).toMap
-    val refCounts = violCountRows.filter(_.getString(2) == "ref")
-      .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("n")).toMap
     val refSample = refViol
       .withColumn("rn", row_number().over(Window.partitionBy(col("batch_id"))
         .orderBy(col("repo"), col("lang"))))
@@ -522,9 +511,13 @@ object SuiteRunner {
     // and running the independent writes serially costs a further ~10 s
     // fixed block at 32 cores.
 
-    // per-batch verdict assembly (driver-side arithmetic on tiny aggregates)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Verdict]
-    pending.foreach { b =>
+    // per-batch verdict assembly (driver-side arithmetic on tiny
+    // aggregates) — invoked AFTER the independent audit writes are in
+    // flight, with the dup/ref counts collected concurrently with them
+    def assembleVerdicts(dupCounts: Map[Long, Long],
+                         refCounts: Map[Long, Long]): Seq[Verdict] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Verdict]
+      pending.foreach { b =>
       val a = arts(b)
       // exact per-length counts below the cardinality cap; t-digest sketch
       // path above it (no per-length rows ever reached the driver)
@@ -578,6 +571,8 @@ object SuiteRunner {
       val score = if (!constraintsPass) 0.0 else 1.0 - errRates.max
       val withScore = verdicts :+ Verdict(b, "quality_score", "*", score, Double.NaN, 0.0, true, 0)
       out ++= withScore
+      }
+      out.toSeq
     }
 
     // per-(batch, repo) file counts through the EXPLICIT salted two-level
@@ -673,23 +668,40 @@ object SuiteRunner {
     // order, verdicts last (the atomic commit point per batch). Lineage is
     // NOT in this block: its wall_ms must include the write time, so it is
     // written (tiny, serial) after the block completes.
-    val allWrites: Seq[(String, DataFrame)] =
+    val independentWrites: Seq[(String, DataFrame)] =
       allViolations.map { case (name, df) => s"violations_$name" -> df } ++ Seq(
         "repo_metrics" -> repoMetrics,
         "sketches" -> sketchRows.toDF("batch_id", "rows", "hll_key", "hll_repo",
           "tdigest_len", "freq_repo"),
         // artifacts snapshot: what a resumed run loads instead of
         // re-scanning the baseline partition
-        "artifacts" -> pending.map(b => toRow(arts(b))).toDF(),
-        "verdicts" -> out.toSeq.toDF())
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, allWrites.size))
-    try {
+        "artifacts" -> pending.map(b => toRow(arts(b))).toDF())
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(8, independentWrites.size + 1))
+    val out: Seq[Verdict] = try {
       val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      val fs = allWrites.map { case (table, df) =>
+      val fs = independentWrites.map { case (table, df) =>
         scala.concurrent.Future(io.writeAllPartitions(df, table))(ec)
       }
+      // OVERLAPPED with the writes above: the one remaining driver action
+      // (dup/ref violation-count maps) runs on the main thread while the
+      // writer pool drains — it only feeds the verdicts, which are the
+      // LAST table written (and committed last, unchanged ordering)
+      val violCountRows = dupViol.groupBy("batch_id")
+        .agg(sum(col("dup_count") - 1).as("n")).withColumn("kind", lit("dup"))
+        .unionByName(refViol.groupBy("batch_id")
+          .agg(sum("violation_count").as("n")).withColumn("kind", lit("ref")))
+        .collect()
+      val dupCounts = violCountRows.filter(_.getString(2) == "dup")
+        .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("n")).toMap
+      val refCounts = violCountRows.filter(_.getString(2) == "ref")
+        .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("n")).toMap
+      val verdicts = assembleVerdicts(dupCounts, refCounts)
+      val fVerdicts = scala.concurrent.Future(
+        io.writeAllPartitions(verdicts.toDF(), "verdicts"))(ec)
       import scala.concurrent.duration.Duration
-      fs.foreach(f => scala.concurrent.Await.result(f, Duration.Inf))
+      (fs :+ fVerdicts).foreach(f => scala.concurrent.Await.result(f, Duration.Inf))
+      verdicts
     } finally {
       // shutdownNow interrupts still-running writes when any write failed
       // (a failed run must not keep writer threads alive); the unpersists
@@ -735,6 +747,6 @@ object SuiteRunner {
       io.commit("artifacts", baselineBatch,
         s"""{"batch_id":$baselineBatch,"suite":"$SuiteVersion"}""")
     }
-    out.toSeq
+    out
   }
 }
