@@ -58,12 +58,27 @@ object Components {
     val cpKey = "spark.sql.constraintPropagation.enabled"
     val cpPrev = sess.conf.get(cpKey, "true")
     sess.conf.set(cpKey, "false")
+    try connectedComponentsImpl(pairs, idCol1, idCol2, maxIter)._1
+    finally sess.conf.set(cpKey, cpPrev)
+  }
+
+  /** [[connectedComponents]] plus the number of alternating rounds the
+    * solve took — for the ComponentsSpec convergence-bound law
+    * (rounds ≤ 2·log₂ n + c) at large edge counts.
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, idCol1: String = "id1", idCol2: String = "id2",
+      maxIter: Int = 50): (DataFrame, Int) = {
+    val sess = pairs.sparkSession
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = sess.conf.get(cpKey, "true")
+    sess.conf.set(cpKey, "false")
     try connectedComponentsImpl(pairs, idCol1, idCol2, maxIter)
     finally sess.conf.set(cpKey, cpPrev)
   }
 
   private def connectedComponentsImpl(pairs: DataFrame, idCol1: String,
-                                      idCol2: String, maxIter: Int): DataFrame = {
+                                      idCol2: String, maxIter: Int): (DataFrame, Int) = {
     val canonical = pairs
       .select(greatest(col(idCol1), col(idCol2)).cast("long").as("u"),
               least(col(idCol1), col(idCol2)).cast("long").as("v"))
@@ -101,8 +116,8 @@ object Components {
     // crash the guard exists for) only at the caller's action, after the
     // conf was restored. One row per paired doc, so the extra checkpoint
     // is pair-set-scale, not corpus-scale.
-    materialize(nodes.join(cur.withColumnRenamed("u", "id"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("v"), col("id")).as("rep")))
+    (materialize(nodes.join(cur.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("rep"))), it)
   }
 
   /** Attach the cluster representative to a corpus: rows never seen in a

@@ -136,6 +136,27 @@ class ComponentsSpec extends GraftSpec {
     assert(got == Map(0L -> 0L, 5L -> 0L, 6L -> 0L))
   }
 
+  test("convergence bound at 10^6 edges with a planted mega-hub: rounds <= 2*log2(n)") {
+    // the BenchExtra scale-leg graph: ~900k hashed random edges over 1M
+    // node ids plus a 100k-spoke star on node 0 (hub safety = large-star
+    // must contract it without a hot reducer); the proven alternating
+    // large/small-star bound is O(log^2 n) worst case but 2*log2(n)
+    // rounds in practice — assert the practical bound the scale claims
+    // rest on (VERDICT r5 task 4)
+    val edges = spark.range(0, 900000).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(1000000)).as("id1"),
+        pmod(xxhash64(col("id"), lit(2)), lit(1000000)).as("id2"))
+      .unionAll(spark.range(0, 100000).select(
+        lit(0L).as("id1"), (col("id") + 1000000).as("id2")))
+    val (cc, rounds) = Components.connectedComponentsWithRounds(edges)
+    val n = 1100000.0 // distinct node-id upper bound
+    assert(rounds <= 2 * (math.log(n) / math.log(2)).ceil.toInt,
+      s"solve took $rounds rounds for ~1.1M nodes")
+    // the hub's star is one component labeled by its min id (node 0's rep)
+    val hubReps = cc.where(col("id") >= 1000000).select("rep").distinct().count()
+    assert(hubReps == 1L, s"hub spokes split across $hubReps components")
+  }
+
   test("incremental survives a parquet round-trip of the store") {
     val dir = java.nio.file.Files.createTempDirectory("cc_store").toString
     val store = Components.connectedComponents(
