@@ -95,13 +95,13 @@ object Dedup {
     * (exact Jaccard on gram sets); [[shingleHashes]] is the compact scale
     * path (64-bit keys instead of strings in every shuffle).
     */
-  def shingleStrings(text: Column, n: Int = 3): Column = {
-    val words = split(TextAnalysis.normalize(text), " ")
-    val grams = when(size(words) < n, array(TextAnalysis.normalize(text)))
-      .otherwise(transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-    array_distinct(grams)
-  }
+  def shingleStrings(text: Column, n: Int = 3): Column =
+    // native one-pass kernel (StringGramKernel) — zero-copy gram views
+    // over the normalized text's bytes; bit-parity with the composed
+    // split/transform/concat_ws form pinned by DedupSpec
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      WordGrams(org.apache.spark.sql.graftbridge.ColumnBridge
+        .expression(TextAnalysis.normalize(text)), n))
 
   /** Exact n-gram Jaccard similarity of two shingle-hash arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -125,11 +125,13 @@ object Dedup {
     * Two docs sharing ≥1 band key become a candidate pair; with k=64,
     * bands=16 (rows/band=4) the match threshold is ≈ (1/16)^(1/4) ≈ 0.5.
     */
-  def lshBandKeys(sig: Column, bands: Int = 16, k: Int = 64): Column = {
-    val rows = k / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, concat_ws(",", slice(sig, b * rows + 1, lit(rows)))))
-  }
+  def lshBandKeys(sig: Column, bands: Int = 16, k: Int = 64): Column =
+    // native kernel (BandKeyKernel) — the composed transform built and
+    // hashed a comma-joined string via interpreted HOF per band; parity
+    // (incl. the long→string decimal rendering and concat_ws null skips)
+    // pinned by DedupSpec
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(BandKeys(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(sig), bands, k))
 
   /** Candidate near-duplicate pairs via MinHash-LSH:
     *   shingle → minhash → band → bucket self-join → signature-agreement

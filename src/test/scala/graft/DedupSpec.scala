@@ -69,6 +69,42 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("string-gram + band-key kernels: bit-parity with the composed forms") {
+    import graft.text.TextAnalysis
+    def composedStrings(text: org.apache.spark.sql.Column, n: Int) = {
+      val words = split(TextAnalysis.normalize(text), " ")
+      val grams = when(size(words) < n, array(TextAnalysis.normalize(text)))
+        .otherwise(transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+      array_distinct(grams)
+    }
+    def composedBands(sig: org.apache.spark.sql.Column, bands: Int, k: Int) = {
+      val rows = k / bands
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, concat_ws(",", slice(sig, b * rows + 1, lit(rows)))))
+    }
+    val cases = docs.select(col("doc_id"), col("text"))
+      .unionByName(Seq((200L, ""), (201L, "solo"), (202L, "a b"),
+        (203L, "x y z x y z x y"), (204L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    for (n <- Seq(1, 2, 3)) {
+      val bad = cases.select(
+          Dedup.shingleStrings(col("text"), n).as("kg"),
+          composedStrings(col("text"), n).as("cg"))
+        .where(!(col("kg") <=> col("cg"))).count()
+      assert(bad == 0L, s"string-gram kernel diverges at n=$n")
+    }
+    // band keys over real minhash signatures (incl. negative longs)
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 64, 3)
+    for ((bands, k) <- Seq((16, 64), (8, 64), (4, 16))) {
+      val bad = sigs.select(
+          Dedup.lshBandKeys(col("sig"), bands, k).as("kb"),
+          composedBands(col("sig"), bands, k).as("cb"))
+        .where(!(col("kb") <=> col("cb"))).count()
+      assert(bad == 0L, s"band-key kernel diverges at bands=$bands k=$k")
+    }
+  }
+
   test("vector kernels: bit-parity with the Column-composed forms") {
     // CosineSim / SignLshSig must reproduce the aggregate(zip_with(...))
     // compositions bit-for-bit: accumulation order, null/empty/zero-norm
