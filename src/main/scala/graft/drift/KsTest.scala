@@ -98,16 +98,17 @@ object KsTest {
       return Seq.empty[(Int, Double, Long, Long)].toDF("cid", "num", "n1", "n2")
         .select(col("cid"), col("num"), col("n1").cast("long"), col("n2").cast("long"))
     }
-    // bucket = number of boundaries strictly below v. The boundaries are
-    // already driver-side literals, so the assignment is a codegen'd
-    // when-chain — the previous broadcast-join + `aggregate` HOF form paid
-    // an extra join AND interpreted per-element lambda evaluation over
-    // every distinct value (higher-order functions are CodegenFallback)
-    val bucketFor = bounds.foldLeft(lit(0)) { case (els, (cid, bs)) =>
-      val cnt = bs.distinct.sorted.foldLeft(lit(0))((acc, b) =>
-        acc + when(col("v") > b, 1).otherwise(0))
-      when(col("cid") === cid, cnt).otherwise(els)
-    }
+    // bucket = number of boundaries strictly below v — a per-lane binary
+    // search over the driver-side boundary arrays ([[RangeBucket]]): one
+    // small kernel call per row, replacing first the broadcast-join +
+    // interpreted `aggregate` HOF (round-5 shape) and then the literal
+    // when-chain whose large generated method dominated the stage's JIT
+    // warm-up
+    val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+    val bucketFor = bridge.column(RangeBucket(
+      bridge.expression(col("cid")), bridge.expression(col("v")),
+      bounds.map(_._1).toArray,
+      bounds.map(_._2.distinct.sorted.toArray).toArray))
     val withB = counts.withColumn("bucket", bucketFor)
 
     // (b) per-bucket totals → cumulative offsets + grand totals via TINY
