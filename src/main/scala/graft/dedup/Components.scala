@@ -198,8 +198,19 @@ object Components {
     * shrink here — that is the point of the algorithm.
     */
   private[dedup] def largeStar(e: DataFrame): DataFrame = {
+    // ONE explicit raw shuffle of the symmetrized edges by u: the min
+    // aggregate AND the neighbor join below both need u-clustering, but
+    // written naively the groupBy's map-side partial aggregate makes its
+    // exchange subtree differ from the join side's, so Spark shuffles (and
+    // computes) sym twice per round (measured: the two largest exchanges of
+    // the round). Repartitioned first, the aggregate and the join reuse the
+    // same materialized exchange with no further shuffle, and the min's
+    // hash-agg state stays O(distinct u per partition) — hub safety
+    // unchanged. No explicit partition count: AQE sizes/coalesces it, so
+    // the shape stays scale-adaptive.
     val sym = e.select(col("u"), col("v"))
       .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
     val mins = sym.groupBy("u")
       .agg(min("v").as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("m"))
@@ -216,8 +227,11 @@ object Components {
     * are canonical (u > v) edge sets.
     */
   private[dedup] def smallStar(e: DataFrame): DataFrame = {
-    val mins = e.groupBy("u").agg(min("v").as("m"))
-    e.join(mins, "u")
+    // same one-exchange shape as [[largeStar]]: cluster by u once, then the
+    // min aggregate and the join are both exchange-free over it
+    val eP = e.repartition(col("u"))
+    val mins = eP.groupBy("u").agg(min("v").as("m"))
+    eP.join(mins, "u")
       .select(col("v").as("n"), col("m"))
       .unionAll(mins.select(col("u").as("n"), col("m")))
       .where(col("n") =!= col("m"))
