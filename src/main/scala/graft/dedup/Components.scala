@@ -216,10 +216,15 @@ object Components {
       .select(col("u"), least(col("u"), col("mn")).as("m"))
     sym.join(mins, "u")
       .where(col("v") > col("u"))
-      // v > u >= m, so (v, m) is already canonical big-to-small
+      // v > u >= m, so (v, m) is already canonical big-to-small.
+      // No trailing distinct: the output is exactly one row per input edge
+      // (each canonical edge (u,v) appears in sym once with v on the small
+      // side), so its size is hard-bounded at |e| with or without one, and
+      // smallStar is duplicate-insensitive (min ignores repeats; its own
+      // trailing distinct canonicalizes the round's output set). Dropping
+      // it removes a full |e|-row exchange + hash-aggregate per round.
       .select(col("v").as("u"), col("m").as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** One round of small-star: every node u connects its SMALLER-or-equal
