@@ -211,10 +211,15 @@ object Dedup {
     val out = cand
       .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
       .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+      // native equal-position count (VectorKernel.sigEqCount) — the composed
+      // aggregate(zip_with(...)) fold evaluated interpreted per candidate
+      // pair (HOFs are CodegenFallback); identical null/length semantics,
+      // DedupSpec parity law
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig1"), col("sig2"),
-          (a, b) => when(a === b, 1).otherwise(0)), lit(0),
-          (acc, x) => acc + x).cast("double") / k)
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(SigEqCount(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sig1")),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sig2"))))
+          .cast("double") / k)
       .where(col("est_jaccard") >= threshold)
       .select("id1", "id2", "est_jaccard")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -51,6 +51,20 @@ object VectorKernel {
     if (denom == 0.0) 0.0 else dot(a, b, n) / denom
   }
 
+  /** Equal-position count of two long arrays under the composed-HOF
+    * semantics — see [[SigEqCount]].
+    */
+  def sigEqCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   def signLsh(v: ArrayData, bits: Int, table: Int): Long = {
     if (v == null) return 0L
     val n = v.numElements()
@@ -75,6 +89,39 @@ object VectorKernel {
     }
     sig
   }
+}
+
+/** `sig_eq_count(a, b)` — positions where two long-array minhash signatures
+  * agree: the count the composed
+  * `aggregate(zip_with(a, b, (x,y) => when(x===y,1).otherwise(0)), 0, _+_)`
+  * produces, replicated exactly (interpreted-HOF replacement for the
+  * est_jaccard scoring of every minhash candidate pair): zip_with pads the
+  * shorter array with nulls and a null comparison falls to the otherwise-0
+  * branch, so only positions below both lengths with two non-null equal
+  * elements count; a null ARRAY on either side nulls the whole fold (and
+  * the row is dropped by the threshold filter, as before).
+  */
+case class SigEqCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<bigint>), got (${l.sql}, ${r.sql})")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sig_eq_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.sigEqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.dedup.VectorKernel.sigEqCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigEqCount =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `cosine_sim(a, b)` — see [[VectorKernel.cosine]]. */

@@ -149,6 +149,34 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("sig_eq_count kernel: bit-parity with the composed zip_with fold") {
+    // the est_jaccard scoring fold of every minhash candidate pair —
+    // null-array, null-element and ragged-length edges included
+    def composed(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+        (acc, x) => acc + x)
+    def kernel(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(graft.dedup.SigEqCount(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(16)(java.lang.Long.valueOf(rnd.nextInt(3).toLong)),
+        Seq.fill(16)(java.lang.Long.valueOf(rnd.nextInt(3).toLong)))
+    } ++ Seq(
+      (100L, Seq.empty[java.lang.Long], Seq.empty[java.lang.Long]),
+      (101L, Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](1L, 2L)), // ragged
+      (102L, Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, null, 3L)), // null elems
+      (103L, null.asInstanceOf[Seq[java.lang.Long]], Seq[java.lang.Long](1L, 2L)))
+    val df = rows.toDF("id", "a", "b")
+      .select(col("id"), col("a").cast("array<bigint>").as("a"),
+        col("b").cast("array<bigint>").as("b"))
+    val bad = df.select(kernel(col("a"), col("b")).as("k"),
+        composed(col("a"), col("b")).as("c"))
+      .where(!(col("k") <=> col("c"))).count()
+    assert(bad == 0L, "sig_eq_count kernel diverges from the composed fold")
+  }
+
   test("exact jaccard: identical docs = 1.0, disjoint docs = 0") {
     val sh = docs.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
     val j = sh.as("a").crossJoin(sh.as("b"))
