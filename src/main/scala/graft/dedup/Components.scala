@@ -87,14 +87,21 @@ object Components {
 
     // The first checkpoint reads the input exactly once; everything the
     // returned DataFrame references (node set included) is checkpointed, so
-    // callers may unpersist/discard `pairs` immediately.
-    val base = materialize(canonical)
+    // callers may unpersist/discard `pairs` immediately. Checkpoints inside
+    // the loop are LAZY: the signature collect right after each one is the
+    // materializing action, so every round runs ONE job (plan + cache +
+    // signature aggregates) instead of a checkpoint job followed by a
+    // signature job — at small edge sets the solve is round-latency-bound
+    // and the second action per round was pure fixed cost. The signature's
+    // full-table aggregate consumes every partition, so the cache it leaves
+    // behind is complete.
+    val base = materializeLazy(canonical)
     var cur = base
     var sig = signature(cur)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = materialize(smallStar(largeStar(cur)))
+      val next = materializeLazy(smallStar(largeStar(cur)))
       val nextSig = signature(next)
       converged = nextSig == sig
       cur = next
@@ -248,6 +255,15 @@ object Components {
   private def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
+
+  /** Lineage-truncating checkpoint whose materialization rides the CALLER's
+    * next full-table action (the per-round signature) instead of running a
+    * dedicated job here.
+    */
+  private def materializeLazy(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
 
   /** Order-independent convergence signature of a canonical edge set
     * (bit_xor folds 64-bit edge hashes without ANSI sum overflow; the edge
