@@ -74,4 +74,38 @@ class JobCountSpec extends GraftSpec {
     // that doubling the batch count does NOT double the job count
     assert(j4 <= j2 + 2, s"suite jobs grew with batches: $j2 (2 batches) -> $j4 (4 batches)")
   }
+
+  test("connected components: one action per round (signature materializes the lazy checkpoint)") {
+    // Per round the solver runs ONE driver action — the signature collect,
+    // which also materializes that round's lazy checkpoint; a dedicated
+    // checkpoint job per round was pure fixed cost at the latency floor.
+    // AQE is disabled for the solve so one action = one job, and
+    // auto-broadcast too (at tiny test scale the static planner would
+    // broadcast the mins side, and every BroadcastExchange materialization
+    // is its own collect job; at real scale mins is never broadcastable).
+    // The law is then exact: 1 base-signature job + 1 per round + 1 final
+    // star-forest materialization. The old eager-checkpoint shape ran
+    // 2 · rounds + 2.
+    import spark.implicits._
+    val chain = (0L until 64L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id1", "id2")
+    val sc = spark.sparkContext
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val abKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqePrev = spark.conf.get(aqeKey)
+    val abPrev = spark.conf.get(abKey)
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(abKey, "-1")
+    sc.setJobGroup("cc-jobs", "cc-jobs")
+    val rounds =
+      try graft.dedup.Components.connectedComponentsWithRounds(chain)._2
+      finally {
+        sc.clearJobGroup()
+        spark.conf.set(aqeKey, aqePrev); spark.conf.set(abKey, abPrev)
+      }
+    val jobs = sc.statusTracker.getJobIdsForGroup("cc-jobs").length
+    assert(rounds >= 3, s"chain of 64 should need several rounds, took $rounds")
+    assert(jobs <= rounds + 2,
+      s"components ran $jobs jobs over $rounds rounds — expected one action per round")
+  }
 }
