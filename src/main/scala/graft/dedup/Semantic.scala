@@ -24,7 +24,13 @@ import graft.sim.{Ivf, IvfAssign}
   *     side, keyed on list_id; with nlist ≈ √n clusters average n/nlist
   *     rows, and AQE's skew-join split handles oversized clusters. The
   *     quadratic-within-cluster scoring is the algorithm's documented
-  *     cost model — nlist is the knob.
+  *     cost model — nlist is the knob. Degenerate-quantizer regime
+  *     (spec-pinned, SemanticSpec): a cluster holding fraction α of the
+  *     corpus degrades gracefully to (αn)² candidate volume inside a
+  *     skew-splittable list_id-keyed equi-join — never to a cartesian
+  *     plan or wrong results; nlist ≈ √n is the sizing rule that bounds
+  *     the EXPECTED cluster, and re-training (more iters / larger sample)
+  *     is the remedy when one centroid captures a constant fraction.
   *   - Grouping rides [[Components.connectedComponents]] (log-round
   *     star contraction), so transitive near-dup chains collapse to one
   *     survivor exactly, not greedily.

@@ -84,6 +84,58 @@ class SemanticSpec extends GraftSpec {
     assert(d.size == 2 && d.forall(x => x._2 == null && x._3 == x._1))
   }
 
+  test("degenerate quantizer: a cluster holding 60% of the corpus stays exact, join keyed on list_id") {
+    // Skew-adversarial law (the oversized-cluster story must not rest on
+    // an assertion): plant a quantizer whose first centroid captures 60%
+    // of all vectors and verify (a) the within-cluster machinery completes
+    // and equals brute-force-within-cluster + CC exactly, and (b) the
+    // pair search is a list_id-KEYED equi-join (skew-splittable by AQE at
+    // real scale; a cartesian/broadcast-nested-loop would not be). The
+    // quadratic within-cluster candidate volume (0.6n)² is the documented
+    // SemDeDup cost model — nlist ≈ √n is the sizing rule that bounds the
+    // EXPECTED cluster; a degenerate quantizer degrades to quadratic
+    // within the hot cluster, never to wrong results.
+    val rnd = new scala.util.Random(13)
+    val hot = (0 until 600).map { i =>
+      (i.toLong, Array.tabulate(16)(j =>
+        (if (j == 0) 1.0 else 0.0) + 0.05 * rnd.nextGaussian()).toSeq)
+    }
+    val cold = for (m <- 1 until 5; i <- 0 until 100) yield {
+      ((m * 10000 + i).toLong, Array.tabulate(16)(j =>
+        (if (j == m) 1.0 else 0.0) + 0.05 * rnd.nextGaussian()).toSeq)
+    }
+    val df = (hot ++ cold).toDF("id", "v")
+    // the planted quantizer: 5 axis centroids — centroid 0 owns all 600
+    val cents = Array.tabulate(5)(m => Array.tabulate(16)(j =>
+      if (j == m) 1.0 else 0.0))
+    val clustered = Semantic.withClusters(df, "id", "v", cents).persist()
+    try {
+      val share = clustered.groupBy("list_id").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(share(0) == 600L, s"planted hot cluster holds ${share.getOrElse(0, 0L)}")
+      // (b) join shape: an equi-join on list_id, no cartesian anywhere
+      val pairs = Semantic.semanticPairs(clustered, tau = 0.97)
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"within-cluster search must stay a keyed equi-join:\n$plan")
+      // (a) exactness vs brute force restricted to same-cluster pairs + CC
+      val got = Semantic.semanticGroupsFromClusters(clustered, tau = 0.97)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val withC = clustered.select(col("id"), col("v"), col("list_id"))
+      val l = withC.select(col("id").as("id1"), col("v").as("v1"), col("list_id").as("c1"))
+      val r = withC.select(col("id").as("id2"), col("v").as("v2"), col("list_id").as("c2"))
+      val brute = l.crossJoin(r)
+        .where(col("id1") < col("id2") && col("c1") === col("c2"))
+        .select(col("id1"), col("id2"), Dedup.cosine(col("v1"), col("v2")).as("cos"))
+        .where(col("cos") >= 0.97)
+      val cc = Components.connectedComponents(brute)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val expected = (hot ++ cold).map(_._1).map(id => id -> cc.getOrElse(id, id)).toMap
+      assert(got == expected, "degenerate-quantizer groups diverge from brute force")
+    } finally clustered.unpersist()
+  }
+
   test("semanticDedup keeps exactly the component minima plus unpaired rows") {
     val base = modes(3, 8, noise = 0.02)
     val dups = base.filter(_._1 % 1000 < 2).map { case (id, v) =>
